@@ -1,0 +1,102 @@
+"""Directional lighting & tonemap (contract: reference tests/test_tonemap.py
+and the env-gated tests/test_terrain_fs.py east/west sun flip -- un-gated
+here because Renderer.render_rgba() is implemented)."""
+import os
+
+import numpy as np
+import pytest
+
+import vulkan_forge as vf
+
+
+def reinhard(x):
+    return x / (1.0 + x)
+
+
+def gamma_correct(x, gamma=2.2):
+    return np.maximum(x, 0.0) ** (1.0 / gamma)
+
+
+def tonemap_cpu(rgb, exposure=1.0):
+    return gamma_correct(reinhard(rgb * exposure), 2.2)
+
+
+def test_tonemap_cpu_reference_ranges():
+    rgb = np.array([0.0, 0.18, 4.0], dtype=np.float32)
+    out = tonemap_cpu(rgb, 1.0)
+    assert out.dtype == np.float32
+    assert np.all(out >= 0.0) and np.all(out <= 1.0)
+    assert np.isclose(out[0], 0.0, atol=1e-6)
+    assert 0.4 < out[1] < 0.6
+    assert out[2] < 1.0
+
+
+def test_sun_and_exposure_validation():
+    r = vf.Renderer(16, 16)
+    r.set_sun(45.0, 30.0)
+    with pytest.raises(ValueError, match="exposure must be > 0"):
+        r.set_exposure(0.0)
+    with pytest.raises(ValueError, match="angles must be finite"):
+        r.set_sun(float("nan"), 0.0)
+    r.set_exposure(1.25)
+
+
+def _luminance(img):
+    rgb = img[..., :3].astype(np.float32) / 255.0
+    return 0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1] + 0.0722 * rgb[..., 2]
+
+
+def _bump(h, w, amp=1.0, sigma=0.18):
+    yy, xx = np.mgrid[0:h, 0:w]
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    r2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / (max(h, w) ** 2)
+    return (amp * np.exp(-r2 / (2 * sigma ** 2))).astype(np.float32)
+
+
+def _render_with_sun(azimuth_deg):
+    R = vf.Renderer(128, 128)
+    dem = _bump(128, 128, amp=50.0)
+    R.add_terrain(dem, (30.0, 30.0), exaggeration=1.0, colormap="viridis")
+    R.set_sun(elevation_deg=45.0, azimuth_deg=azimuth_deg)
+    return R.render_rgba()
+
+
+@pytest.mark.skipif(os.environ.get("VF_ENABLE_TERRAIN_TESTS", "1") == "0",
+                    reason="disabled via VF_ENABLE_TERRAIN_TESTS=0")
+def test_east_west_sun_flip():
+    east = _render_with_sun(90.0)
+    west = _render_with_sun(270.0)
+    assert np.isfinite(east).all() and np.isfinite(west).all()
+
+    Y_e = _luminance(east)
+    Y_w = _luminance(west)
+    y = Y_e.shape[0] // 2
+    cx = Y_e.shape[1] // 2
+    dx = 16
+
+    assert Y_e[y, cx + dx] > Y_e[y, cx - dx], "East sun should light east slope more"
+    assert Y_w[y, cx - dx] > Y_w[y, cx + dx], "West sun should light west slope more"
+
+
+def test_exposure_brightens_render_rgba():
+    R = vf.Renderer(96, 96)
+    R.add_terrain(_bump(64, 64, amp=20.0), (10.0, 10.0), 1.0, "terrain")
+    R.set_exposure(0.5)
+    dark = _luminance(R.render_rgba()).mean()
+    R.set_exposure(2.0)
+    bright = _luminance(R.render_rgba()).mean()
+    assert bright > dark
+
+
+def test_render_rgba_requires_terrain():
+    R = vf.Renderer(32, 32)
+    with pytest.raises(RuntimeError, match="no terrain uploaded"):
+        R.render_rgba()
+
+
+def test_render_png_writes_terrain(tmp_path):
+    R = vf.Renderer(96, 96)
+    R.add_terrain(_bump(64, 64, amp=20.0), (10.0, 10.0), 1.0, "terrain")
+    out = tmp_path / "dem.png"
+    R.render_png(str(out))
+    assert out.exists() and out.stat().st_size > 2048

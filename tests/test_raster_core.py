@@ -1,0 +1,149 @@
+"""Raster core unit tests: backends agree byte-exactly, winding/cull rules,
+binning determinism, sRGB curves. These are the TPU analog of the
+reference's cross-backend identity checks (python/tools/backends_runner.py).
+"""
+import hashlib
+
+import numpy as np
+import pytest
+
+import vulkan_forge as vf
+from vulkan_forge._raster import pipeline
+
+
+def test_triangle_backends_identical():
+    a = pipeline.render_triangle_u8(96, 64, backend="jnp")
+    b = pipeline.render_triangle_u8(96, 64, backend="pallas")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_terrain_backends_identical(monkeypatch):
+    h = (np.outer(np.linspace(0, 1, 32), np.linspace(0, 1, 32))).astype(np.float32)
+    imgs = {}
+    for be in ("jnp", "pallas"):
+        monkeypatch.setenv("VF_BACKEND", be)
+        s = vf.Scene(160, 120, 32, "terrain")
+        s.set_height_from_r32f(h)
+        imgs[be] = s.render_rgba()
+    np.testing.assert_array_equal(imgs["jnp"], imgs["pallas"])
+
+
+def test_triangle_golden_properties():
+    img = pipeline.render_triangle_u8(256, 256)
+    # Clear is white (src/lib.rs:19) and the sRGB encode of 1.0 is 255.
+    assert np.all(img[0, :] == 255)
+    assert np.all(img[:, 0] == 255)
+    # Alpha is 1 everywhere.
+    assert np.all(img[..., 3] == 255)
+    # Vertex colors: v0 red at bottom-left, v1 green at bottom-right,
+    # v2 blue at top-center (NDC y up => framebuffer y down).
+    h, w = 256, 256
+    bl = img[int(0.9 * h) - 3, int(0.1 * w) + 3]
+    br = img[int(0.9 * h) - 3, int(0.9 * w) - 3]
+    tc = img[int(0.1 * h) + 3, w // 2]
+    assert bl[0] > bl[1] and bl[0] > bl[2]   # red corner
+    assert br[1] > br[0] and br[1] > br[2]   # green corner
+    assert tc[2] > tc[0] and tc[2] > tc[1]   # blue apex
+    # Roughly symmetric in x (red/green corners mirror).
+    mid = img[h // 2]
+    np.testing.assert_allclose(mid[:, 0].astype(int),
+                               mid[::-1, 1].astype(int), atol=2)
+
+
+def test_backface_culling():
+    # Reversing the winding of the fixed triangle must cull it entirely:
+    # front_face=CCW + cull_mode=Back (src/lib.rs:120-121).
+    import jax.numpy as jnp
+    from vulkan_forge._raster import fragment, tiles, transform
+    from vulkan_forge._raster.setup import bin_triangles, clip_to_fb, triangle_setup
+
+    pos = jnp.asarray(pipeline._TRI_POS)
+    col = jnp.asarray(pipeline._TRI_COLOR)
+    clip, colors = transform.triangle_vs(pos, col)
+    x, y, _, w = clip_to_fb(clip, 64, 64)
+    rev = jnp.array([[0, 2, 1]], jnp.int32)  # flipped winding
+    records, bbox = triangle_setup(x, y, w, colors, rev, 64, 64)
+    binning = bin_triangles(bbox, 64, 64, capacity=8)
+    v0, v1, v2, mask = tiles.render_gbuffer(records, binning.tile_lists, 64, 64)
+    assert not bool(np.asarray(mask).any())
+
+
+def test_adjacent_triangles_no_cracks_no_overdraw_gaps():
+    # Two triangles sharing a diagonal must cover every pixel of the quad
+    # interior with no holes (watertightness along the shared edge).
+    import jax.numpy as jnp
+    from vulkan_forge._raster import tiles, transform
+    from vulkan_forge._raster.setup import bin_triangles, clip_to_fb, triangle_setup
+
+    quad = jnp.array([[-0.9, -0.9], [0.9, -0.9], [-0.9, 0.9], [0.9, 0.9]],
+                     jnp.float32)
+    cols = jnp.ones((4, 3), jnp.float32)
+    clip, colors = transform.triangle_vs(quad, cols)
+    x, y, _, w = clip_to_fb(clip, 128, 128)
+    # CCW in NDC: (0,1,2) and (2,1,3)
+    idx = jnp.array([[0, 1, 2], [2, 1, 3]], jnp.int32)
+    records, bbox = triangle_setup(x, y, w, colors, idx, 128, 128)
+    binning = bin_triangles(bbox, 128, 128, capacity=8)
+    _, _, _, mask = tiles.render_gbuffer(records, binning.tile_lists, 128, 128)
+    m = np.asarray(mask)
+    # interior of the quad: fb x in [~6.4, ~121.6] -> rows/cols 7..121
+    assert m[7:121, 7:121].all()
+    assert not m[0:5, :].any() and not m[:, 0:5].any()
+
+
+def test_binning_counts_and_order():
+    import jax.numpy as jnp
+    from vulkan_forge._raster.setup import bin_triangles, tile_counts
+
+    # Three bboxes: one in tile (0,0), one spanning two x-tiles, one invalid.
+    bbox = jnp.array([
+        [0, 10, 0, 3],        # tile (0,0) only
+        [120, 140, 0, 3],     # tiles (0,0) and (0,1) with tile_w=128
+        [256, -1, 8, -1],     # empty (culled) encoding
+    ], jnp.int32)
+    counts = tile_counts(bbox, width=256, height=16)
+    b = bin_triangles(bbox, width=256, height=16, capacity=8)
+    counts = np.asarray(counts)
+    lists = np.asarray(b.tile_lists)
+    assert counts[0] == 2 and counts[1] == 1
+    assert lists[0, 0] == 0 and lists[0, 1] == 1   # ascending ids
+    assert lists[1, 0] == 1
+    assert np.all(lists[0, 2:] == 3)               # sentinel = T
+
+
+def test_srgb_curves_match_reference_constants():
+    from vulkan_forge._formats import srgb_decode_np, srgb_encode_np, to_u8_np
+    x = np.linspace(0, 1, 1024, dtype=np.float32)
+    # decode(encode(x)) == x to fp precision
+    np.testing.assert_allclose(srgb_decode_np(srgb_encode_np(x)), x, atol=2e-6)
+    # Known anchor: linear 0.5 encodes to ~188/255
+    assert to_u8_np(srgb_encode_np(np.float32(0.5))) == 188
+    # Clear colors as stored by the sRGB target
+    assert to_u8_np(srgb_encode_np(np.float32(0.02))) == 39
+    assert to_u8_np(srgb_encode_np(np.float32(0.03))) == 48
+
+
+def test_clear_color_pixels_exact():
+    s = vf.Scene(64, 48, grid=4)
+    img = s.render_rgba()
+    # Top rows are background: sRGB-encoded (0.02, 0.02, 0.03, 1).
+    assert tuple(img[0, 0]) == (39, 39, 48, 255)
+
+
+def test_lut_bilinear_vs_cpu_reference():
+    import jax.numpy as jnp
+    from vulkan_forge._colormap import build_lut
+    from vulkan_forge._raster.fragment import sample_lut_bilinear
+
+    lut, _ = build_lut("viridis")
+    t = np.linspace(0, 1, 97, dtype=np.float32)
+    got = np.asarray(sample_lut_bilinear(jnp.asarray(lut), jnp.asarray(t)))
+
+    # CPU reference of clamp-to-edge bilinear filtering on a 256x1 texture.
+    xf = t * 256.0 - 0.5
+    x0 = np.floor(xf)
+    frac = (xf - x0)[:, None]
+    i0 = np.clip(x0, 0, 255).astype(int)
+    i1 = np.clip(x0 + 1, 0, 255).astype(int)
+    ref = lut[i0] * (1 - frac) + lut[i1] * frac
+    np.testing.assert_allclose(got, ref, atol=1e-6)

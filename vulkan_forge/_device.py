@@ -1,0 +1,112 @@
+"""Device discovery and probing on top of JAX.
+
+TPU-native analog of the reference's adapter diagnostics
+(src/lib.rs:744-845): the wgpu backend matrix (VULKAN/DX12/METAL/GL)
+collapses to JAX platforms (TPU, CPU, and CPU-interpret for Pallas). The
+status taxonomy {ok, unsupported, error} and the ``millis`` timing field are
+kept so the diagnostics CLI emits the same JSON shape.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+_KNOWN_BACKENDS = ("TPU", "CPU", "AUTO")
+# Graphics backends from the reference CLI surface; reported as unsupported.
+_LEGACY_BACKENDS = ("VULKAN", "DX12", "METAL", "GL")
+
+
+def _device_dict(d) -> Dict[str, Any]:
+    kind = getattr(d, "device_kind", "unknown")
+    platform = getattr(d, "platform", "unknown")
+    return {
+        "name": str(kind),
+        "backend": str(platform).upper(),
+        "device_type": "Tpu" if "tpu" in str(platform).lower() else "Cpu",
+        "vendor_id": 0,
+        "device_id": int(getattr(d, "id", 0)),
+        "features": f"platform={platform}, kind={kind}",
+        "limits": f"memory_stats={'available' if hasattr(d, 'memory_stats') else 'n/a'}",
+    }
+
+
+def enumerate_adapters() -> List[Dict[str, Any]]:
+    """All visible JAX devices as adapter dicts (parity: src/lib.rs:744-777)."""
+    import jax
+    try:
+        devices = jax.devices()
+    except Exception:
+        devices = []
+    return [_device_dict(d) for d in devices]
+
+
+def device_probe(backend: Optional[str] = None) -> Dict[str, Any]:
+    """Probe a backend; returns status in {ok, unsupported, error} + millis.
+
+    Parity with src/lib.rs:779-845: unknown/absent backend means AUTO, a
+    missing platform is "unsupported", unexpected failures are "error".
+    """
+    import jax
+
+    b = (backend or "AUTO").upper()
+    out: Dict[str, Any] = {"backend_request": b}
+    t0 = time.perf_counter()
+
+    if b in _LEGACY_BACKENDS:
+        out["status"] = "unsupported"
+        out["message"] = f"graphics backend '{b}' not available on the TPU build; use TPU/CPU/AUTO"
+        out["millis"] = (time.perf_counter() - t0) * 1000.0
+        return out
+
+    try:
+        if b == "AUTO":
+            devices = jax.devices()
+        else:
+            try:
+                devices = jax.devices(b.lower())
+            except RuntimeError as e:
+                out["status"] = "unsupported"
+                out["message"] = str(e)
+                out["millis"] = (time.perf_counter() - t0) * 1000.0
+                return out
+        if not devices:
+            out["status"] = "unsupported"
+            out["message"] = "No suitable accelerator device"
+            out["millis"] = (time.perf_counter() - t0) * 1000.0
+            return out
+
+        d = devices[0]
+        info = _device_dict(d)
+        out["adapter_name"] = info["name"]
+        out["backend"] = info["backend"]
+        out["device_type"] = info["device_type"]
+        out["vendor_id"] = info["vendor_id"]
+        out["device_id"] = info["device_id"]
+        out["features"] = info["features"]
+        out["limits"] = info["limits"]
+
+        # The analog of request_device: run a trivial computation end to end.
+        import jax.numpy as jnp
+        x = jax.device_put(jnp.arange(8, dtype=jnp.float32), d)
+        val = float(jax.jit(lambda v: v.sum())(x))
+        if val != 28.0:
+            out["status"] = "error"
+            out["message"] = f"probe computation returned {val}, expected 28.0"
+        else:
+            out["status"] = "ok"
+    except Exception as e:  # pragma: no cover - defensive
+        out["status"] = "error"
+        out["message"] = f"device probe failed: {e}"
+
+    out["millis"] = (time.perf_counter() - t0) * 1000.0
+    return out
+
+
+def default_platform() -> str:
+    """Preferred compute platform: 'tpu' when present, else 'cpu'."""
+    import jax
+    try:
+        platforms = {d.platform.lower() for d in jax.devices()}
+    except Exception:
+        return "cpu"
+    return "tpu" if "tpu" in platforms else "cpu"

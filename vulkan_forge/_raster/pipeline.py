@@ -1,0 +1,228 @@
+"""End-to-end jitted render pipelines.
+
+The reference's encoder/submit/poll/readback dance (src/lib.rs:685-721,
+src/terrain/mod.rs:409-491) collapses to ONE jitted function per pipeline:
+``u32_image = render(scene arrays)``; "readback" is ``jax.device_get``.
+
+Per-tile triangle capacity is data-dependent (it is the only dynamic
+quantity in the whole pipeline), so rendering is two-phase:
+  1. a tiny jitted pass computes exact per-tile counts; the host rounds the
+     max up to a power of two (few distinct values => few recompiles);
+  2. the raster pass runs with that static capacity. Because counts are
+     exact, overflow is impossible by construction.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import _formats
+from . import fragment, tiles, transform
+from .setup import TILE_H, TILE_W, bin_triangles, clip_to_fb, tile_counts, triangle_setup
+
+
+def backend_name() -> str:
+    """Raster backend: VF_BACKEND in {auto, jnp, pallas}; auto => pallas on TPU.
+
+    Both backends produce identical pixels (the Pallas kernel implements the
+    exact same math as the jnp tile loop); pallas is the fast path on TPU.
+    """
+    b = os.environ.get("VF_BACKEND", "auto").lower()
+    if b not in ("auto", "jnp", "pallas"):
+        b = "auto"
+    if b == "auto":
+        from .._device import default_platform
+        return "pallas" if default_platform() == "tpu" else "jnp"
+    return b
+
+
+def _round_capacity(n: int) -> int:
+    c = 8
+    while c < n:
+        c *= 2
+    return c
+
+
+# ---------------- terrain ----------------
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_h", "tile_w"))
+def _terrain_records(xyuv, indices, heights, view, proj, spacing, exaggeration,
+                     width, height, tile_h=TILE_H, tile_w=TILE_W):
+    clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                          spacing, exaggeration)
+    x, y, _, w = clip_to_fb(clip, width, height)
+    records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+    counts = tile_counts(bbox, width, height, tile_h, tile_w)
+    return records, bbox, counts
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "capacity", "tile_h", "tile_w", "fs_mode", "use_pallas"))
+def _terrain_render_from_records(records, bbox, heights, lut, h_min, h_max,
+                                 exposure, sun_dir, spacing, exaggeration,
+                                 width, height, capacity,
+                                 tile_h=TILE_H, tile_w=TILE_W,
+                                 fs_mode="shipped", use_pallas=False):
+    binning = bin_triangles(bbox, width, height, capacity, tile_h, tile_w)
+    if use_pallas:
+        from . import pallas_backend
+        v0, v1, v2, mask = pallas_backend.render_gbuffer(
+            records, binning.tile_lists, width, height, tile_h, tile_w)
+    else:
+        v0, v1, v2, mask = tiles.render_gbuffer(
+            records, binning.tile_lists, width, height, tile_h, tile_w)
+    if fs_mode == "shipped":
+        h_range = h_max - h_min
+        return fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure, sun_dir)
+    return fragment.terrain_fs_extended(v0, v1, v2, mask, lut, heights,
+                                        h_min, h_max, exposure, sun_dir,
+                                        spacing, exaggeration)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "analytic"))
+def _terrain_records_extended(xyuv, indices, heights, view, proj, spacing,
+                              exaggeration, width, height, analytic=False):
+    """Records with (h, u, v) varyings for the extended fragment pipeline."""
+    x = xyuv[:, 0]
+    z = xyuv[:, 1]
+    sp = jnp.maximum(spacing, 1e-8)
+    h = transform.sample_height_nearest(heights, xyuv[:, 2:4])
+    if analytic:
+        h = h + transform.analytic_height(x, z)
+    world = jnp.stack([x * sp, h * exaggeration, z * sp,
+                       jnp.ones_like(x)], axis=-1)
+    clip = (world @ view.T) @ proj.T
+    varyings = jnp.stack([h, xyuv[:, 2], xyuv[:, 3]], axis=-1)
+    xf, yf, _, w = clip_to_fb(clip, width, height)
+    records, bbox = triangle_setup(xf, yf, w, varyings, indices, width, height)
+    counts = tile_counts(bbox, width, height)
+    return records, bbox, counts
+
+
+def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggeration,
+                      h_min, h_max, exposure, sun_dir, lut, width: int, height: int,
+                      fs_mode: str = "shipped", normal_spacing=None,
+                      backend: Optional[str] = None) -> np.ndarray:
+    """Render the terrain pipeline to an (H, W, 4) uint8 numpy array.
+
+    fs_mode "shipped" reproduces src/shaders/terrain.wgsl exactly (incl. the
+    analytic fallback relief added to sampled heights); "extended" is the
+    documented fwd-diff + Reinhard pipeline used by Renderer.render_rgba()
+    (no analytic fallback: it renders the real DEM).
+    """
+    be = backend or backend_name()
+    xyuv = jnp.asarray(xyuv, jnp.float32)
+    indices = jnp.asarray(np.asarray(indices).reshape(-1, 3), jnp.int32)
+    heights = jnp.asarray(heights, jnp.float32)
+    view = jnp.asarray(view, jnp.float32)
+    proj = jnp.asarray(proj, jnp.float32)
+    lut = jnp.asarray(lut, jnp.float32)
+    spacing = jnp.float32(spacing)
+    exaggeration = jnp.float32(exaggeration)
+    h_min = jnp.float32(h_min)
+    h_max = jnp.float32(h_max)
+    exposure = jnp.float32(exposure)
+    sun_dir = jnp.asarray(sun_dir, jnp.float32)
+
+    if fs_mode == "extended":
+        records, bbox, counts = _terrain_records_extended(
+            xyuv, indices, heights, view, proj, spacing, exaggeration,
+            width, height)
+    else:
+        records, bbox, counts = _terrain_records(
+            xyuv, indices, heights, view, proj, spacing, exaggeration,
+            width, height)
+
+    # Texel world step used only for the extended FS's fwd-diff normals; the
+    # mesh may already be in world units (spacing=1) while normals still
+    # need the true DEM spacing.
+    nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
+    capacity = _round_capacity(int(jax.device_get(counts.max())))
+    img_u32 = _terrain_render_from_records(
+        records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
+        nsp, exaggeration, width, height, capacity,
+        fs_mode=fs_mode, use_pallas=(be == "pallas"))
+    return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
+
+
+# ---------------- batched terrain (throughput path) ----------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "capacity", "fs_mode", "use_pallas"))
+def _terrain_render_batch(xyuv, indices, heights, views, projs, lut,
+                          h_min, h_max, exposure, sun_dir, spacing,
+                          exaggeration, width, height, capacity,
+                          fs_mode="shipped", use_pallas=False):
+    """Render B frames (one camera each) of one scene in a single dispatch.
+
+    The TPU throughput regime: many cameras/frames per XLA dispatch with the
+    framebuffer batch resident in HBM. views/projs: (B, 4, 4).
+    """
+    def one(view, proj):
+        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+        x, y, _, w = clip_to_fb(clip, width, height)
+        records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+        binning = bin_triangles(bbox, width, height, capacity)
+        if use_pallas:
+            from . import pallas_backend
+            v0, v1, v2, mask = pallas_backend.render_gbuffer(
+                records, binning.tile_lists, width, height)
+        else:
+            v0, v1, v2, mask = tiles.render_gbuffer(
+                records, binning.tile_lists, width, height)
+        h_range = h_max - h_min
+        return fragment.terrain_fs(v0, v1, v2, mask, lut, h_range,
+                                   exposure, sun_dir)
+
+    return jax.vmap(one)(views, projs)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _terrain_batch_counts(xyuv, indices, heights, views, projs,
+                          spacing, exaggeration, width, height):
+    def one(view, proj):
+        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+        x, y, _, w = clip_to_fb(clip, width, height)
+        _, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+        return tile_counts(bbox, width, height).max()
+    return jax.vmap(one)(views, projs).max()
+
+
+# ---------------- gradient triangle ----------------
+
+# Fixed geometry (src/lib.rs:73-78): CCW, u16 indices [0,1,2].
+_TRI_POS = np.array([[-0.8, -0.8], [0.8, -0.8], [0.0, 0.8]], dtype=np.float32)
+_TRI_COLOR = np.array([[1.0, 0.2, 0.2], [0.2, 1.0, 0.2], [0.2, 0.2, 1.0]],
+                      dtype=np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "use_pallas"))
+def _triangle_render(width, height, use_pallas=False):
+    clip, colors = transform.triangle_vs(jnp.asarray(_TRI_POS), jnp.asarray(_TRI_COLOR))
+    x, y, _, w = clip_to_fb(clip, width, height)
+    indices = jnp.array([[0, 1, 2]], jnp.int32)
+    records, bbox = triangle_setup(x, y, w, colors, indices, width, height)
+    binning = bin_triangles(bbox, width, height, capacity=1)
+    if use_pallas:
+        from . import pallas_backend
+        v0, v1, v2, mask = pallas_backend.render_gbuffer(
+            records, binning.tile_lists, width, height)
+    else:
+        v0, v1, v2, mask = tiles.render_gbuffer(
+            records, binning.tile_lists, width, height)
+    return fragment.triangle_fs(v0, v1, v2, mask)
+
+
+def render_triangle_u8(width: int, height: int,
+                       backend: Optional[str] = None) -> np.ndarray:
+    """Deterministic gradient triangle -> (H, W, 4) uint8."""
+    be = backend or backend_name()
+    img_u32 = _triangle_render(width, height, use_pallas=(be == "pallas"))
+    return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))

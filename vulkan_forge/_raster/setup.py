@@ -1,0 +1,215 @@
+"""Triangle setup and framebuffer-tile binning (all jnp, jit-friendly).
+
+This is the TPU-native replacement for the fixed-function rasterizer stages
+the reference gets from the GPU (primitive assembly, culling, binning).
+
+Geometry conventions (pinned by the reference pipelines):
+  - Framebuffer coordinates: x right, y down, pixel centers at +0.5
+    (Vulkan/WebGPU rule).
+  - Front face = CCW with back-face culling (src/lib.rs:120-121,
+    src/terrain/pipeline.rs:126-129). In math shoelace terms a front-facing
+    triangle has NEGATIVE area in y-down framebuffer coords, so we use the
+    negated edge function F(a,b,p) = dy*(p.x-a.x) - dx*(p.y-a.y); a pixel is
+    covered iff all three F >= 0 and the barycentric weights are
+    (F0, F1, F2) / (F0+F1+F2) with F_i taken on the edge opposite vertex i.
+  - No depth buffer (depth_stencil: None, src/terrain/pipeline.rs:133):
+    painter's order means the LAST drawn triangle wins, which for a single
+    indexed draw equals "maximum triangle index wins" -- an order-independent
+    reduction, which is what makes the whole pipeline deterministic and
+    data-parallel on TPU.
+
+Triangle records are (T+1, REC_WIDTH) f32 rows (row T is an always-invalid
+sentinel used to pad per-tile lists). Layout:
+
+  [0:4]   edge opp v0: (a.x, a.y, dy, dx) with a=v1, d=v2-v1
+  [4:8]   edge opp v1: a=v2, d=v0-v2
+  [8:12]  edge opp v2: a=v0, d=v1-v0
+  [12:15] varying0/w at (v0, v1, v2)
+  [15:18] varying1/w
+  [18:21] varying2/w
+  [21:24] 1/w at (v0, v1, v2)
+  [24]    valid flag (1.0 front-facing & in-front & covers >= 1 pixel center)
+  [25:32] reserved
+
+Edges are evaluated relative to their own vertex (F = dy*(px-ax) - dx*(py-ay))
+so products stay small for small triangles -- the f32 analog of the hardware's
+fixed-point watertight rasterization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+REC_WIDTH = 32
+
+# Default tile shape: one VPU-native (8, 128) f32 vector register of pixels.
+TILE_H = 8
+TILE_W = 128
+
+
+def clip_to_fb(clip: jnp.ndarray, width: int, height: int):
+    """Clip space -> framebuffer coords (WebGPU viewport transform).
+
+    clip: (..., 4). Returns (x_fb, y_fb, z_ndc, w_clip), each (...,).
+    NDC y-up flips to framebuffer y-down.
+    """
+    w = clip[..., 3]
+    # Guard: w <= 0 vertices are marked invalid downstream; avoid inf/nan here.
+    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    ndc_x = clip[..., 0] / safe_w
+    ndc_y = clip[..., 1] / safe_w
+    ndc_z = clip[..., 2] / safe_w
+    x_fb = (ndc_x * 0.5 + 0.5) * width
+    y_fb = (0.5 - ndc_y * 0.5) * height
+    return x_fb, y_fb, ndc_z, w
+
+
+def triangle_setup(x_fb, y_fb, w_clip, varyings, indices, width: int, height: int):
+    """Build (T+1, REC_WIDTH) triangle records.
+
+    x_fb, y_fb, w_clip: (N,) per-vertex framebuffer coords / clip w.
+    varyings: (N, 3) per-vertex attributes (perspective-interpolated).
+    indices: (T, 3) int32 vertex indices (triangle list order == draw order).
+    """
+    v0, v1, v2 = indices[:, 0], indices[:, 1], indices[:, 2]
+
+    def take(a, i):
+        return jnp.take(a, i, axis=0)
+
+    x0, x1, x2 = take(x_fb, v0), take(x_fb, v1), take(x_fb, v2)
+    y0, y1, y2 = take(y_fb, v0), take(y_fb, v1), take(y_fb, v2)
+    w0, w1, w2 = take(w_clip, v0), take(w_clip, v1), take(w_clip, v2)
+
+    # Signed double area, math shoelace in framebuffer (y-down) coords.
+    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    # Front faces (CCW in wgpu terms) have area2 < 0 here; cull back faces
+    # and degenerates (cull_mode=Back, src/terrain/pipeline.rs:128).
+    front = area2 < 0.0
+    # Near-plane guard: all vertices strictly in front of the camera. (The
+    # GPU would clip; parity configs keep geometry inside the frustum.)
+    in_front = (w0 > 1e-8) & (w1 > 1e-8) & (w2 > 1e-8)
+    finite = (jnp.isfinite(x0) & jnp.isfinite(x1) & jnp.isfinite(x2)
+              & jnp.isfinite(y0) & jnp.isfinite(y1) & jnp.isfinite(y2))
+
+    # Pixel-center bbox: centers are at integer+0.5.
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    px0 = jnp.ceil(xmin - 0.5).astype(jnp.int32)
+    px1 = jnp.floor(xmax - 0.5).astype(jnp.int32)
+    py0 = jnp.ceil(ymin - 0.5).astype(jnp.int32)
+    py1 = jnp.floor(ymax - 0.5).astype(jnp.int32)
+    px0 = jnp.maximum(px0, 0)
+    py0 = jnp.maximum(py0, 0)
+    px1 = jnp.minimum(px1, width - 1)
+    py1 = jnp.minimum(py1, height - 1)
+    # Covers at least one pixel center inside the framebuffer.
+    covers = (px0 <= px1) & (py0 <= py1)
+
+    valid = front & in_front & finite & covers
+
+    T = indices.shape[0]
+    rec = jnp.zeros((T, REC_WIDTH), dtype=jnp.float32)
+    rec = rec.at[:, 0].set(x1).at[:, 1].set(y1)
+    rec = rec.at[:, 2].set(y2 - y1).at[:, 3].set(x2 - x1)
+    rec = rec.at[:, 4].set(x2).at[:, 5].set(y2)
+    rec = rec.at[:, 6].set(y0 - y2).at[:, 7].set(x0 - x2)
+    rec = rec.at[:, 8].set(x0).at[:, 9].set(y0)
+    rec = rec.at[:, 10].set(y1 - y0).at[:, 11].set(x1 - x0)
+
+    rw0 = jnp.where(w0 > 1e-8, 1.0 / w0, 0.0)
+    rw1 = jnp.where(w1 > 1e-8, 1.0 / w1, 0.0)
+    rw2 = jnp.where(w2 > 1e-8, 1.0 / w2, 0.0)
+    for k in range(3):
+        a = varyings[:, k]
+        a0, a1, a2 = take(a, v0), take(a, v1), take(a, v2)
+        rec = rec.at[:, 12 + 3 * k].set(a0 * rw0)
+        rec = rec.at[:, 13 + 3 * k].set(a1 * rw1)
+        rec = rec.at[:, 14 + 3 * k].set(a2 * rw2)
+    rec = rec.at[:, 21].set(rw0).at[:, 22].set(rw1).at[:, 23].set(rw2)
+    rec = rec.at[:, 24].set(valid.astype(jnp.float32))
+
+    # Sentinel row T: all zeros => valid flag 0 => never covers.
+    records = jnp.concatenate([rec, jnp.zeros((1, REC_WIDTH), jnp.float32)], axis=0)
+
+    bbox = jnp.stack([jnp.where(valid, px0, width), jnp.where(valid, px1, -1),
+                      jnp.where(valid, py0, height), jnp.where(valid, py1, -1)], axis=-1)
+    return records, bbox
+
+
+class Binning(NamedTuple):
+    tile_lists: jnp.ndarray   # (NTY*NTX, C) int32 triangle ids (sentinel=T)
+    counts: jnp.ndarray       # (NTY*NTX,) int32 per-tile triangle count
+
+
+def tile_counts(bbox, width: int, height: int,
+                tile_h: int = TILE_H, tile_w: int = TILE_W) -> jnp.ndarray:
+    """Per-tile overlapping-triangle counts (for host capacity selection)."""
+    nty = -(-height // tile_h)
+    ntx = -(-width // tile_w)
+    tx0 = bbox[:, 0] // tile_w
+    tx1 = bbox[:, 1] // tile_w
+    ty0 = bbox[:, 2] // tile_h
+    ty1 = bbox[:, 3] // tile_h
+    txs = jnp.arange(ntx, dtype=jnp.int32)
+    tys = jnp.arange(nty, dtype=jnp.int32)
+    ovx = (tx0[:, None] <= txs[None, :]) & (txs[None, :] <= tx1[:, None])  # (T, NTX)
+    ovy = (ty0[:, None] <= tys[None, :]) & (tys[None, :] <= ty1[:, None])  # (T, NTY)
+    # counts[tile_y, tile_x] = sum_t ovy[t, ty] * ovx[t, tx] -- a matmul.
+    counts = jnp.einsum("ty,tx->yx", ovy.astype(jnp.float32), ovx.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return counts.astype(jnp.int32).reshape(-1)
+
+
+def bin_triangles(bbox, width: int, height: int, capacity: int,
+                  tile_h: int = TILE_H, tile_w: int = TILE_W,
+                  tile_chunk: int = 128) -> Binning:
+    """Bin triangles into per-tile lists of ascending triangle id.
+
+    Deterministic and sort-free: per tile, the k-th entry is found with a
+    binary search over the inclusive cumsum of the overlap indicator (the
+    TPU-friendly replacement for the scatter/compaction a GPU binner does).
+    Sentinel id T pads tiles with fewer than ``capacity`` triangles.
+    """
+    T = bbox.shape[0]
+    nty = -(-height // tile_h)
+    ntx = -(-width // tile_w)
+    ntiles = nty * ntx
+
+    tx0 = bbox[:, 0] // tile_w
+    tx1 = bbox[:, 1] // tile_w
+    ty0 = bbox[:, 2] // tile_h
+    ty1 = bbox[:, 3] // tile_h
+
+    tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
+    kq = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+
+    def chunk_lists(tids):
+        ty = tids // ntx
+        tx = tids % ntx
+        ov = ((tx0[:, None] <= tx[None, :]) & (tx[None, :] <= tx1[:, None])
+              & (ty0[:, None] <= ty[None, :]) & (ty[None, :] <= ty1[:, None]))
+        csum = jnp.cumsum(ov.astype(jnp.int32), axis=0)  # (T, chunk)
+        counts = csum[-1]                                 # (chunk,)
+
+        def per_tile(c):
+            idx = jnp.searchsorted(c, kq, side="left")
+            return jnp.minimum(idx, T).astype(jnp.int32)
+
+        lists = jax.vmap(per_tile, in_axes=1)(csum)       # (chunk, C)
+        return lists, counts
+
+    if ntiles <= tile_chunk:
+        lists, counts = chunk_lists(tile_ids)
+    else:
+        pad = (-ntiles) % tile_chunk
+        padded = jnp.concatenate([tile_ids, jnp.full((pad,), ntiles, jnp.int32)])
+        chunks = padded.reshape(-1, tile_chunk)
+        lists, counts = jax.lax.map(chunk_lists, chunks)
+        lists = lists.reshape(-1, capacity)[:ntiles]
+        counts = counts.reshape(-1)[:ntiles]
+    return Binning(tile_lists=lists, counts=counts)
