@@ -26,7 +26,10 @@ import numpy as np
 
 WIDTH, HEIGHT = 800, 600
 GRID = int(os.environ.get("VF_BENCH_GRID", "1024"))
-BATCH = int(os.environ.get("VF_BENCH_BATCH", "8"))
+# Batch adapts to the per-frame binned-record footprint (dense grids gather
+# bigger per-tile lists); override with VF_BENCH_BATCH.
+_default_batch = {True: 8, False: 1}[GRID <= 384]
+BATCH = int(os.environ.get("VF_BENCH_BATCH", str(_default_batch)))
 REPS = int(os.environ.get("VF_BENCH_REPS", "5"))
 
 
@@ -70,17 +73,20 @@ def main() -> int:
 
     use_pallas = P.backend_name() == "pallas"
 
-    cmax = int(jax.device_get(P._terrain_batch_counts(
+    cmax, sx, sy = jax.device_get(P._terrain_batch_counts(
         xyuv, indices, heights, views, projs, args["spacing"],
-        args["exaggeration"], WIDTH, HEIGHT)))
-    capacity = P._round_capacity(cmax)
+        args["exaggeration"], WIDTH, HEIGHT))
+    capacity = P._round_capacity(int(cmax))
+    span_x = P._round_span(int(sx))
+    span_y = P._round_span(int(sy))
 
     def run():
         out = P._terrain_render_batch(
             xyuv, indices, heights, views, projs, lut,
             args["h_min"], args["h_max"], args["exposure"], args["sun_dir"],
             args["spacing"], args["exaggeration"],
-            WIDTH, HEIGHT, capacity, fs_mode="shipped", use_pallas=use_pallas)
+            WIDTH, HEIGHT, capacity, span_x, span_y,
+            fs_mode="shipped", use_pallas=use_pallas)
         out.block_until_ready()
         return out
 

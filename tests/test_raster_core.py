@@ -83,7 +83,9 @@ def test_adjacent_triangles_no_cracks_no_overdraw_gaps():
     # CCW in NDC: (0,1,2) and (2,1,3)
     idx = jnp.array([[0, 1, 2], [2, 1, 3]], jnp.int32)
     records, bbox = triangle_setup(x, y, w, colors, idx, 128, 128)
-    binning = bin_triangles(bbox, 128, 128, capacity=8)
+    # Screen-sized triangles: span must cover the whole tile grid (the
+    # production paths size spans from tile_span_max).
+    binning = bin_triangles(bbox, 128, 128, capacity=8, span_x=1, span_y=16)
     _, _, _, mask = tiles.render_gbuffer(records, binning.tile_lists, 128, 128)
     m = np.asarray(mask)
     # interior of the quad: fb x in [~6.4, ~121.6] -> rows/cols 7..121

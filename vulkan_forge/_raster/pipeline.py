@@ -23,7 +23,8 @@ import numpy as np
 
 from .. import _formats
 from . import fragment, tiles, transform
-from .setup import TILE_H, TILE_W, bin_triangles, clip_to_fb, tile_counts, triangle_setup
+from .setup import (TILE_H, TILE_W, bin_triangles, clip_to_fb, tile_counts,
+                    tile_span_max, triangle_setup)
 
 
 def backend_name() -> str:
@@ -48,6 +49,25 @@ def _round_capacity(n: int) -> int:
     return c
 
 
+def _round_span(n: int) -> int:
+    c = 1
+    while c < n:
+        c *= 2
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_h", "tile_w"))
+def _bin_stats(bbox, width, height, tile_h=TILE_H, tile_w=TILE_W):
+    counts = tile_counts(bbox, width, height, tile_h, tile_w)
+    sx, sy = tile_span_max(bbox, width, height, tile_h, tile_w)
+    return counts.max(), sx, sy
+
+
+def _static_bin_params(bbox, width, height):
+    cmax, sx, sy = jax.device_get(_bin_stats(bbox, width, height))
+    return _round_capacity(int(cmax)), _round_span(int(sx)), _round_span(int(sy))
+
+
 # ---------------- terrain ----------------
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_h", "tile_w"))
@@ -57,22 +77,24 @@ def _terrain_records(xyuv, indices, heights, view, proj, spacing, exaggeration,
                                           spacing, exaggeration)
     x, y, _, w = clip_to_fb(clip, width, height)
     records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
-    counts = tile_counts(bbox, width, height, tile_h, tile_w)
-    return records, bbox, counts
+    return records, bbox
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "capacity", "tile_h", "tile_w", "fs_mode", "use_pallas"))
+    "width", "height", "capacity", "span_x", "span_y", "tile_h", "tile_w",
+    "fs_mode", "use_pallas"))
 def _terrain_render_from_records(records, bbox, heights, lut, h_min, h_max,
                                  exposure, sun_dir, spacing, exaggeration,
-                                 width, height, capacity,
+                                 width, height, capacity, span_x=4, span_y=4,
                                  tile_h=TILE_H, tile_w=TILE_W,
                                  fs_mode="shipped", use_pallas=False):
-    binning = bin_triangles(bbox, width, height, capacity, tile_h, tile_w)
+    binning = bin_triangles(bbox, width, height, capacity, tile_h, tile_w,
+                            span_x=span_x, span_y=span_y)
     if use_pallas:
         from . import pallas_backend
         v0, v1, v2, mask = pallas_backend.render_gbuffer(
-            records, binning.tile_lists, width, height, tile_h, tile_w)
+            records, binning.tile_lists, width, height, tile_h, tile_w,
+            counts=binning.counts)
     else:
         v0, v1, v2, mask = tiles.render_gbuffer(
             records, binning.tile_lists, width, height, tile_h, tile_w)
@@ -100,14 +122,14 @@ def _terrain_records_extended(xyuv, indices, heights, view, proj, spacing,
     varyings = jnp.stack([h, xyuv[:, 2], xyuv[:, 3]], axis=-1)
     xf, yf, _, w = clip_to_fb(clip, width, height)
     records, bbox = triangle_setup(xf, yf, w, varyings, indices, width, height)
-    counts = tile_counts(bbox, width, height)
-    return records, bbox, counts
+    return records, bbox
 
 
 def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggeration,
                       h_min, h_max, exposure, sun_dir, lut, width: int, height: int,
                       fs_mode: str = "shipped", normal_spacing=None,
-                      backend: Optional[str] = None) -> np.ndarray:
+                      backend: Optional[str] = None,
+                      as_device: bool = False) -> np.ndarray:
     """Render the terrain pipeline to an (H, W, 4) uint8 numpy array.
 
     fs_mode "shipped" reproduces src/shaders/terrain.wgsl exactly (incl. the
@@ -130,11 +152,11 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     sun_dir = jnp.asarray(sun_dir, jnp.float32)
 
     if fs_mode == "extended":
-        records, bbox, counts = _terrain_records_extended(
+        records, bbox = _terrain_records_extended(
             xyuv, indices, heights, view, proj, spacing, exaggeration,
             width, height)
     else:
-        records, bbox, counts = _terrain_records(
+        records, bbox = _terrain_records(
             xyuv, indices, heights, view, proj, spacing, exaggeration,
             width, height)
 
@@ -142,21 +164,24 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     # mesh may already be in world units (spacing=1) while normals still
     # need the true DEM spacing.
     nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
-    capacity = _round_capacity(int(jax.device_get(counts.max())))
+    capacity, span_x, span_y = _static_bin_params(bbox, width, height)
     img_u32 = _terrain_render_from_records(
         records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
-        nsp, exaggeration, width, height, capacity,
+        nsp, exaggeration, width, height, capacity, span_x, span_y,
         fs_mode=fs_mode, use_pallas=(be == "pallas"))
+    if as_device:
+        return img_u32
     return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
 
 
 # ---------------- batched terrain (throughput path) ----------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "capacity", "fs_mode", "use_pallas"))
+    "width", "height", "capacity", "span_x", "span_y", "fs_mode", "use_pallas"))
 def _terrain_render_batch(xyuv, indices, heights, views, projs, lut,
                           h_min, h_max, exposure, sun_dir, spacing,
                           exaggeration, width, height, capacity,
+                          span_x=4, span_y=4,
                           fs_mode="shipped", use_pallas=False):
     """Render B frames (one camera each) of one scene in a single dispatch.
 
@@ -168,11 +193,13 @@ def _terrain_render_batch(xyuv, indices, heights, views, projs, lut,
                                               spacing, exaggeration)
         x, y, _, w = clip_to_fb(clip, width, height)
         records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
-        binning = bin_triangles(bbox, width, height, capacity)
+        binning = bin_triangles(bbox, width, height, capacity,
+                                span_x=span_x, span_y=span_y)
         if use_pallas:
             from . import pallas_backend
             v0, v1, v2, mask = pallas_backend.render_gbuffer(
-                records, binning.tile_lists, width, height)
+                records, binning.tile_lists, width, height,
+                counts=binning.counts)
         else:
             v0, v1, v2, mask = tiles.render_gbuffer(
                 records, binning.tile_lists, width, height)
@@ -191,8 +218,11 @@ def _terrain_batch_counts(xyuv, indices, heights, views, projs,
                                               spacing, exaggeration)
         x, y, _, w = clip_to_fb(clip, width, height)
         _, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
-        return tile_counts(bbox, width, height).max()
-    return jax.vmap(one)(views, projs).max()
+        counts = tile_counts(bbox, width, height)
+        sx, sy = tile_span_max(bbox, width, height)
+        return counts.max(), sx, sy
+    cm, sx, sy = jax.vmap(one)(views, projs)
+    return cm.max(), sx.max(), sy.max()
 
 
 # ---------------- gradient triangle ----------------
@@ -209,11 +239,15 @@ def _triangle_render(width, height, use_pallas=False):
     x, y, _, w = clip_to_fb(clip, width, height)
     indices = jnp.array([[0, 1, 2]], jnp.int32)
     records, bbox = triangle_setup(x, y, w, colors, indices, width, height)
-    binning = bin_triangles(bbox, width, height, capacity=1)
+    # One triangle spanning the whole screen: span covers every tile.
+    binning = bin_triangles(bbox, width, height, capacity=8,
+                            span_x=-(-width // TILE_W),
+                            span_y=-(-height // TILE_H))
     if use_pallas:
         from . import pallas_backend
         v0, v1, v2, mask = pallas_backend.render_gbuffer(
-            records, binning.tile_lists, width, height)
+            records, binning.tile_lists, width, height,
+            counts=binning.counts)
     else:
         v0, v1, v2, mask = tiles.render_gbuffer(
             records, binning.tile_lists, width, height)
@@ -221,8 +255,11 @@ def _triangle_render(width, height, use_pallas=False):
 
 
 def render_triangle_u8(width: int, height: int,
-                       backend: Optional[str] = None) -> np.ndarray:
+                       backend: Optional[str] = None,
+                       as_device: bool = False) -> np.ndarray:
     """Deterministic gradient triangle -> (H, W, 4) uint8."""
     be = backend or backend_name()
     img_u32 = _triangle_render(width, height, use_pallas=(be == "pallas"))
+    if as_device:
+        return img_u32
     return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))

@@ -113,25 +113,22 @@ def triangle_setup(x_fb, y_fb, w_clip, varyings, indices, width: int, height: in
     valid = front & in_front & finite & covers
 
     T = indices.shape[0]
-    rec = jnp.zeros((T, REC_WIDTH), dtype=jnp.float32)
-    rec = rec.at[:, 0].set(x1).at[:, 1].set(y1)
-    rec = rec.at[:, 2].set(y2 - y1).at[:, 3].set(x2 - x1)
-    rec = rec.at[:, 4].set(x2).at[:, 5].set(y2)
-    rec = rec.at[:, 6].set(y0 - y2).at[:, 7].set(x0 - x2)
-    rec = rec.at[:, 8].set(x0).at[:, 9].set(y0)
-    rec = rec.at[:, 10].set(y1 - y0).at[:, 11].set(x1 - x0)
-
     rw0 = jnp.where(w0 > 1e-8, 1.0 / w0, 0.0)
     rw1 = jnp.where(w1 > 1e-8, 1.0 / w1, 0.0)
     rw2 = jnp.where(w2 > 1e-8, 1.0 / w2, 0.0)
+
+    cols = [
+        x1, y1, y2 - y1, x2 - x1,          # edge opp v0
+        x2, y2, y0 - y2, x0 - x2,          # edge opp v1
+        x0, y0, y1 - y0, x1 - x0,          # edge opp v2
+    ]
     for k in range(3):
         a = varyings[:, k]
-        a0, a1, a2 = take(a, v0), take(a, v1), take(a, v2)
-        rec = rec.at[:, 12 + 3 * k].set(a0 * rw0)
-        rec = rec.at[:, 13 + 3 * k].set(a1 * rw1)
-        rec = rec.at[:, 14 + 3 * k].set(a2 * rw2)
-    rec = rec.at[:, 21].set(rw0).at[:, 22].set(rw1).at[:, 23].set(rw2)
-    rec = rec.at[:, 24].set(valid.astype(jnp.float32))
+        cols += [take(a, v0) * rw0, take(a, v1) * rw1, take(a, v2) * rw2]
+    cols += [rw0, rw1, rw2, valid.astype(jnp.float32)]
+    zero_col = jnp.zeros_like(x0)
+    cols += [zero_col] * (REC_WIDTH - len(cols))
+    rec = jnp.stack(cols, axis=-1)  # (T, REC_WIDTH), one fused assembly
 
     # Sentinel row T: all zeros => valid flag 0 => never covers.
     records = jnp.concatenate([rec, jnp.zeros((1, REC_WIDTH), jnp.float32)], axis=0)
@@ -165,15 +162,31 @@ def tile_counts(bbox, width: int, height: int,
     return counts.astype(jnp.int32).reshape(-1)
 
 
+def tile_span_max(bbox, width: int, height: int,
+                  tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Max per-triangle tile-span (sx, sy) -- picks the static scatter K."""
+    tx0 = bbox[:, 0] // tile_w
+    tx1 = bbox[:, 1] // tile_w
+    ty0 = bbox[:, 2] // tile_h
+    ty1 = bbox[:, 3] // tile_h
+    sx = jnp.maximum(tx1 - tx0 + 1, 0)
+    sy = jnp.maximum(ty1 - ty0 + 1, 0)
+    return jnp.maximum(sx.max(), 1), jnp.maximum(sy.max(), 1)
+
+
 def bin_triangles(bbox, width: int, height: int, capacity: int,
                   tile_h: int = TILE_H, tile_w: int = TILE_W,
-                  tile_chunk: int = 128) -> Binning:
+                  span_x: int = 4, span_y: int = 4,
+                  tri_chunk: int = 65536) -> Binning:
     """Bin triangles into per-tile lists of ascending triangle id.
 
-    Deterministic and sort-free: per tile, the k-th entry is found with a
-    binary search over the inclusive cumsum of the overlap indicator (the
-    TPU-friendly replacement for the scatter/compaction a GPU binner does).
-    Sentinel id T pads tiles with fewer than ``capacity`` triangles.
+    Deterministic, sort-free scatter binning: each triangle writes its id
+    into the (tile, rank) slots of the tiles its bbox spans (at most
+    span_x * span_y static slots -- the host sizes these from
+    ``tile_span_max``, so nothing can overflow). The rank (position within
+    the tile's ascending-id list) comes from a cumulative count over the
+    triangle axis; ranks are gathered chunk-locally so memory stays bounded
+    for large meshes. Sentinel id T pads unused slots.
     """
     T = bbox.shape[0]
     nty = -(-height // tile_h)
@@ -184,32 +197,56 @@ def bin_triangles(bbox, width: int, height: int, capacity: int,
     tx1 = bbox[:, 1] // tile_w
     ty0 = bbox[:, 2] // tile_h
     ty1 = bbox[:, 3] // tile_h
+    valid = bbox[:, 1] >= bbox[:, 0]
 
     tile_ids = jnp.arange(ntiles, dtype=jnp.int32)
-    kq = jnp.arange(1, capacity + 1, dtype=jnp.int32)
+    ty_of = tile_ids // ntx
+    tx_of = tile_ids % ntx
 
-    def chunk_lists(tids):
-        ty = tids // ntx
-        tx = tids % ntx
-        ov = ((tx0[:, None] <= tx[None, :]) & (tx[None, :] <= tx1[:, None])
-              & (ty0[:, None] <= ty[None, :]) & (ty[None, :] <= ty1[:, None]))
-        csum = jnp.cumsum(ov.astype(jnp.int32), axis=0)  # (T, chunk)
-        counts = csum[-1]                                 # (chunk,)
+    K = span_x * span_y
+    dx = jnp.arange(span_x, dtype=jnp.int32)
+    dy = jnp.arange(span_y, dtype=jnp.int32)
 
-        def per_tile(c):
-            idx = jnp.searchsorted(c, kq, side="left")
-            return jnp.minimum(idx, T).astype(jnp.int32)
+    # Output: flat (NT*C + 1) slots, last = dump; init = sentinel id T.
+    lists_flat = jnp.full((ntiles * capacity + 1,), T, jnp.int32)
+    dump = ntiles * capacity
 
-        lists = jax.vmap(per_tile, in_axes=1)(csum)       # (chunk, C)
-        return lists, counts
+    n_chunks = -(-T // tri_chunk)
+    running = jnp.zeros((ntiles,), jnp.int32)
 
-    if ntiles <= tile_chunk:
-        lists, counts = chunk_lists(tile_ids)
-    else:
-        pad = (-ntiles) % tile_chunk
-        padded = jnp.concatenate([tile_ids, jnp.full((pad,), ntiles, jnp.int32)])
-        chunks = padded.reshape(-1, tile_chunk)
-        lists, counts = jax.lax.map(chunk_lists, chunks)
-        lists = lists.reshape(-1, capacity)[:ntiles]
-        counts = counts.reshape(-1)[:ntiles]
-    return Binning(tile_lists=lists, counts=counts)
+    for c in range(n_chunks):
+        s = c * tri_chunk
+        tc = min(tri_chunk, T - s)
+        sl = slice(s, s + tc)
+        ctx0, ctx1 = tx0[sl], tx1[sl]
+        cty0, cty1 = ty0[sl], ty1[sl]
+        cvalid = valid[sl]
+
+        # (NT, Tc) chunk overlap + cumulative count along triangles.
+        ov = ((ctx0[None, :] <= tx_of[:, None]) & (tx_of[:, None] <= ctx1[None, :])
+              & (cty0[None, :] <= ty_of[:, None]) & (ty_of[:, None] <= cty1[None, :])
+              & cvalid[None, :])
+        csum = running[:, None] + jnp.cumsum(ov.astype(jnp.int32), axis=1)
+        running = csum[:, -1]
+
+        # Enumerate each triangle's span slots: tile id + chunk-local rank.
+        styx = cty0[:, None] + dy[None, :]                     # (Tc, SY)
+        stxx = ctx0[:, None] + dx[None, :]                     # (Tc, SX)
+        tile = (styx[:, :, None] * ntx + stxx[:, None, :]).reshape(tc, K)
+        ok = ((styx[:, :, None] <= cty1[:, None, None])
+              & (stxx[:, None, :] <= ctx1[:, None, None])).reshape(tc, K)
+        ok = ok & cvalid[:, None]
+
+        safe_tile = jnp.where(ok, tile, 0)
+        t_local = jnp.arange(tc, dtype=jnp.int32)
+        flat_idx = safe_tile * tc + t_local[:, None]           # into (NT, Tc)
+        rank = csum.reshape(-1)[flat_idx.reshape(-1)].reshape(tc, K) - 1
+
+        slot = jnp.where(ok & (rank < capacity),
+                         safe_tile * capacity + rank, dump)
+        vals = jnp.broadcast_to((t_local + s)[:, None], (tc, K)).reshape(-1)
+        lists_flat = lists_flat.at[slot.reshape(-1)].set(
+            vals, mode="drop", indices_are_sorted=False, unique_indices=False)
+
+    lists = lists_flat[:-1].reshape(ntiles, capacity)
+    return Binning(tile_lists=lists, counts=running)

@@ -50,6 +50,30 @@ class Renderer:
         self._height_tex: Optional[np.ndarray] = None  # device-side analog
         self._globals = Globals()
         self._globals_dirty = True
+        self._last_metrics: Optional[dict] = None
+
+    def render_metrics(self) -> dict:
+        """Timing/size metrics of the last render (the reference planned
+        this API but never shipped it, ROADMAP.md:504).
+
+        Keys: render_ms (device compute incl. dispatch), readback_ms
+        (device->host copy), total_ms, bytes (framebuffer readback size),
+        width, height. None values if nothing rendered yet.
+        """
+        if self._last_metrics is None:
+            return {"render_ms": None, "readback_ms": None, "total_ms": None,
+                    "bytes": 0, "width": self.width, "height": self.height}
+        return dict(self._last_metrics)
+
+    def _record_metrics(self, render_ms: float, readback_ms: float) -> None:
+        self._last_metrics = {
+            "render_ms": render_ms,
+            "readback_ms": readback_ms,
+            "total_ms": render_ms + readback_ms,
+            "bytes": self.width * self.height * 4,
+            "width": self.width,
+            "height": self.height,
+        }
 
     # ---------------- triangle path ----------------
 
@@ -58,7 +82,18 @@ class Renderer:
 
     def render_triangle_rgba(self) -> np.ndarray:
         """Render the fixed gradient triangle -> (H, W, 4) uint8."""
-        return _pipeline.render_triangle_u8(self.width, self.height)
+        import time
+        import jax
+        from . import _formats
+        t0 = time.perf_counter()
+        dev = _pipeline.render_triangle_u8(self.width, self.height,
+                                           as_device=True)
+        jax.block_until_ready(dev)
+        t1 = time.perf_counter()
+        img = _formats.u32_image_to_rgba_u8(jax.device_get(dev))
+        t2 = time.perf_counter()
+        self._record_metrics((t1 - t0) * 1e3, (t2 - t1) * 1e3)
+        return img
 
     def render_triangle_png(self, path: str) -> None:
         save_png_rgba(str(path), self.render_triangle_rgba())
@@ -235,14 +270,24 @@ class Renderer:
         # Heights were pre-multiplied by exaggeration at ingest and the mesh
         # is already in world units, so spacing/exaggeration enter the vertex
         # stage as 1; the true DEM spacing only scales the normals' slope.
-        return _pipeline.render_terrain_u8(
+        import time
+        import jax
+        from . import _formats
+        t0 = time.perf_counter()
+        dev = _pipeline.render_terrain_u8(
             xyuv, tris, heights, view, proj,
             spacing=1.0, exaggeration=1.0,
             normal_spacing=float(terr.spacing[0]),
             h_min=self._terrain_meta.h_min, h_max=self._terrain_meta.h_max,
             exposure=self._globals.exposure, sun_dir=self._globals.sun_dir,
             lut=lut, width=self.width, height=self.height,
-            fs_mode="extended")
+            fs_mode="extended", as_device=True)
+        jax.block_until_ready(dev)
+        t1 = time.perf_counter()
+        img = _formats.u32_image_to_rgba_u8(jax.device_get(dev))
+        t2 = time.perf_counter()
+        self._record_metrics((t1 - t0) * 1e3, (t2 - t1) * 1e3)
+        return img
 
     def render_png(self, path: str) -> None:
         save_png_rgba(str(path), self.render_rgba())
