@@ -31,9 +31,12 @@ _CHUNK = 8  # triangles per inner-loop iteration (sublane width)
 
 
 def _kernel(counts_ref, recs_ref, v0_ref, v1_ref, v2_ref, mask_ref, *,
-            tile_h, tile_w):
+            tile_h, tile_w, nty):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
+    # Batched frames ride the first grid axis: frame = ty // nty. Pixel
+    # coordinates use the frame-local tile row.
+    ty_local = jax.lax.rem(ty, nty)
 
     C = recs_ref.shape[2]
     R, L = tile_h, tile_w
@@ -46,7 +49,7 @@ def _kernel(counts_ref, recs_ref, v0_ref, v1_ref, v2_ref, mask_ref, *,
     px = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2).astype(jnp.float32)
           + (tx * tile_w).astype(jnp.float32) + 0.5)          # (1,1,L)
     py = (jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0).astype(jnp.float32)
-          + (ty * tile_h).astype(jnp.float32) + 0.5)          # (R,1,1)
+          + (ty_local * tile_h).astype(jnp.float32) + 0.5)    # (R,1,1)
 
     zero = jnp.zeros((R, _CHUNK, L), jnp.float32)
     neg1 = jnp.full((R, _CHUNK, L), -1.0, jnp.float32)
@@ -126,7 +129,7 @@ def render_gbuffer(records: jnp.ndarray, tile_lists: jnp.ndarray,
     counts = counts.astype(jnp.int32).reshape(-1)
 
     out_shape = jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.float32)
-    kernel = functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w)
+    kernel = functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w, nty=nty)
 
     flops_per_px_tri = 44
     cost = pl.CostEstimate(
@@ -155,3 +158,51 @@ def render_gbuffer(records: jnp.ndarray, tile_lists: jnp.ndarray,
 
     return (v0[:height, :width], v1[:height, :width], v2[:height, :width],
             mask[:height, :width] > 0.5)
+
+
+def render_gbuffer_batch(records_b: jnp.ndarray, tile_lists_b: jnp.ndarray,
+                         counts_b: jnp.ndarray, width: int, height: int,
+                         tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Batched raster: B frames in ONE pallas_call (grid (B*NTY, NTX)).
+
+    vmap of pallas_call serializes poorly; flattening the frame axis into
+    the grid keeps one kernel stream and one record gather.
+    records_b: (B, T+1, REC_WIDTH); tile_lists_b: (B, NT, C);
+    counts_b: (B, NT). Returns (var0, var1, var2, mask), each (B, H, W).
+    """
+    B, trec, _ = records_b.shape
+    nty = -(-height // tile_h)
+    ntx = -(-width // tile_w)
+    capacity = tile_lists_b.shape[2]
+    assert capacity % _CHUNK == 0
+
+    flat_records = records_b.reshape(B * trec, REC_WIDTH)
+    offs = (jnp.arange(B, dtype=jnp.int32) * trec)[:, None, None]
+    flat_lists = (tile_lists_b + offs).reshape(B * nty * ntx, capacity)
+    tile_recs = flat_records[flat_lists].reshape(B * nty, ntx, capacity, REC_WIDTH)
+    counts = counts_b.astype(jnp.int32).reshape(-1)
+
+    out_shape = jax.ShapeDtypeStruct((B * nty * tile_h, ntx * tile_w), jnp.float32)
+    kernel = functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w, nty=nty)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * nty, ntx),
+        in_specs=[pl.BlockSpec((1, 1, capacity, REC_WIDTH),
+                               lambda ty, tx, *pref: (ty, tx, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=tuple(
+            pl.BlockSpec((tile_h, tile_w), lambda ty, tx, *pref: (ty, tx),
+                         memory_space=pltpu.VMEM) for _ in range(4)),
+    )
+
+    v0, v1, v2, mask = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape, out_shape, out_shape),
+    )(counts, tile_recs)
+
+    def crop(a):
+        return a.reshape(B, nty * tile_h, ntx * tile_w)[:, :height, :width]
+
+    return crop(v0), crop(v1), crop(v2), crop(mask) > 0.5

@@ -188,26 +188,31 @@ def _terrain_render_batch(xyuv, indices, heights, views, projs, lut,
     The TPU throughput regime: many cameras/frames per XLA dispatch with the
     framebuffer batch resident in HBM. views/projs: (B, 4, 4).
     """
-    def one(view, proj):
+    def prep(view, proj):
         clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                               spacing, exaggeration)
         x, y, _, w = clip_to_fb(clip, width, height)
         records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
         binning = bin_triangles(bbox, width, height, capacity,
                                 span_x=span_x, span_y=span_y)
-        if use_pallas:
-            from . import pallas_backend
-            v0, v1, v2, mask = pallas_backend.render_gbuffer(
-                records, binning.tile_lists, width, height,
-                counts=binning.counts)
-        else:
-            v0, v1, v2, mask = tiles.render_gbuffer(
-                records, binning.tile_lists, width, height)
-        h_range = h_max - h_min
-        return fragment.terrain_fs(v0, v1, v2, mask, lut, h_range,
-                                   exposure, sun_dir)
+        return records, binning.tile_lists, binning.counts
 
-    return jax.vmap(one)(views, projs)
+    records_b, lists_b, counts_b = jax.vmap(prep)(views, projs)
+
+    if use_pallas:
+        from . import pallas_backend
+        v0, v1, v2, mask = pallas_backend.render_gbuffer_batch(
+            records_b, lists_b, counts_b, width, height)
+    else:
+        v0, v1, v2, mask = jax.vmap(
+            lambda r, tl: tiles.render_gbuffer(r, tl, width, height)
+        )(records_b, lists_b)
+
+    h_range = h_max - h_min
+    return jax.vmap(
+        lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
+                                               exposure, sun_dir)
+    )(v0, v1, v2, mask)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))

@@ -76,12 +76,18 @@ def triangle_setup(x_fb, y_fb, w_clip, varyings, indices, width: int, height: in
     """
     v0, v1, v2 = indices[:, 0], indices[:, 1], indices[:, 2]
 
-    def take(a, i):
-        return jnp.take(a, i, axis=0)
-
-    x0, x1, x2 = take(x_fb, v0), take(x_fb, v1), take(x_fb, v2)
-    y0, y1, y2 = take(y_fb, v0), take(y_fb, v1), take(y_fb, v2)
-    w0, w1, w2 = take(w_clip, v0), take(w_clip, v1), take(w_clip, v2)
+    # Pack all per-vertex data into one matrix and gather ROWS per corner:
+    # three (T, 8)-row gathers lower to fast strided DMA gathers, unlike
+    # eighteen independent 1-D element gathers (~30x slower on TPU).
+    vmat = jnp.stack([x_fb, y_fb, w_clip,
+                      varyings[:, 0], varyings[:, 1], varyings[:, 2],
+                      jnp.zeros_like(x_fb), jnp.zeros_like(x_fb)], axis=-1)
+    c0 = vmat[v0]  # (T, 8)
+    c1 = vmat[v1]
+    c2 = vmat[v2]
+    x0, y0, w0 = c0[:, 0], c0[:, 1], c0[:, 2]
+    x1, y1, w1 = c1[:, 0], c1[:, 1], c1[:, 2]
+    x2, y2, w2 = c2[:, 0], c2[:, 1], c2[:, 2]
 
     # Signed double area, math shoelace in framebuffer (y-down) coords.
     area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
@@ -123,8 +129,7 @@ def triangle_setup(x_fb, y_fb, w_clip, varyings, indices, width: int, height: in
         x0, y0, y1 - y0, x1 - x0,          # edge opp v2
     ]
     for k in range(3):
-        a = varyings[:, k]
-        cols += [take(a, v0) * rw0, take(a, v1) * rw1, take(a, v2) * rw2]
+        cols += [c0[:, 3 + k] * rw0, c1[:, 3 + k] * rw1, c2[:, 3 + k] * rw2]
     cols += [rw0, rw1, rw2, valid.astype(jnp.float32)]
     zero_col = jnp.zeros_like(x0)
     cols += [zero_col] * (REC_WIDTH - len(cols))
