@@ -25,11 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 WIDTH, HEIGHT = 800, 600
-GRID = int(os.environ.get("VF_BENCH_GRID", "1024"))
-# Batch adapts to the per-frame binned-record footprint (dense grids gather
-# bigger per-tile lists); override with VF_BENCH_BATCH.
-_default_batch = {True: 8, False: 1}[GRID <= 384]
-BATCH = int(os.environ.get("VF_BENCH_BATCH", str(_default_batch)))
+# Default scene: the reference's default TerrainSpike grid (=128,
+# src/terrain/mod.rs:258). VF_BENCH_GRID=1024 runs the dense-mesh config
+# (segment-walk kernel); measured numbers for both live in BASELINE.md.
+GRID = int(os.environ.get("VF_BENCH_GRID", "128"))
+BATCH = int(os.environ.get("VF_BENCH_BATCH", "8"))
 REPS = int(os.environ.get("VF_BENCH_REPS", "5"))
 
 
@@ -72,23 +72,49 @@ def main() -> int:
                 spacing=jnp.float32(1.0), exaggeration=jnp.float32(1.0))
 
     use_pallas = P.backend_name() == "pallas"
+    T = int(indices.shape[0])
 
-    cmax, sx, sy = jax.device_get(P._terrain_batch_counts(
-        xyuv, indices, heights, views, projs, args["spacing"],
-        args["exaggeration"], WIDTH, HEIGHT))
-    capacity = P._round_capacity(int(cmax))
-    span_x = P._round_span(int(sx))
-    span_y = P._round_span(int(sy))
+    # Per-frame dispatch with a distinct camera each frame (the serving
+    # pattern); binning capacities sized once from a prepass over all
+    # cameras so every frame reuses one compiled executable.
+    if use_pallas and T > P.SEGMENT_THRESHOLD:
+        nval = int(jax.device_get(P._terrain_batch_valid_count(
+            xyuv, indices, heights, views, projs, args["spacing"],
+            args["exaggeration"], WIDTH, HEIGHT)))
+        cap = P._round_capacity(nval)
+        row_size = 2 * (GRID - 1)
+
+        def frame(view, proj):
+            records, bbox = P._terrain_records(
+                xyuv, indices, heights, view, proj, args["spacing"],
+                args["exaggeration"], WIDTH, HEIGHT)
+            return P._terrain_render_segments(
+                records, bbox, heights, lut, args["h_min"], args["h_max"],
+                args["exposure"], args["sun_dir"], args["spacing"],
+                args["exaggeration"], WIDTH, HEIGHT, row_size, cap,
+                fs_mode="shipped")
+    else:
+        cmax, sx, sy = jax.device_get(P._terrain_batch_counts(
+            xyuv, indices, heights, views, projs, args["spacing"],
+            args["exaggeration"], WIDTH, HEIGHT))
+        capacity = P._round_capacity(int(cmax))
+        span_x = P._round_span(int(sx))
+        span_y = P._round_span(int(sy))
+
+        def frame(view, proj):
+            records, bbox = P._terrain_records(
+                xyuv, indices, heights, view, proj, args["spacing"],
+                args["exaggeration"], WIDTH, HEIGHT)
+            return P._terrain_render_from_records(
+                records, bbox, heights, lut, args["h_min"], args["h_max"],
+                args["exposure"], args["sun_dir"], args["spacing"],
+                args["exaggeration"], WIDTH, HEIGHT, capacity, span_x,
+                span_y, fs_mode="shipped", use_pallas=use_pallas)
 
     def run():
-        out = P._terrain_render_batch(
-            xyuv, indices, heights, views, projs, lut,
-            args["h_min"], args["h_max"], args["exposure"], args["sun_dir"],
-            args["spacing"], args["exaggeration"],
-            WIDTH, HEIGHT, capacity, span_x, span_y,
-            fs_mode="shipped", use_pallas=use_pallas)
-        out.block_until_ready()
-        return out
+        outs = [frame(views[i], projs[i]) for i in range(BATCH)]
+        jax.block_until_ready(outs)
+        return outs
 
     run()  # compile
     t0 = time.perf_counter()

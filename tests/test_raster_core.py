@@ -28,6 +28,19 @@ def test_terrain_backends_identical(monkeypatch):
     np.testing.assert_array_equal(imgs["jnp"], imgs["pallas"])
 
 
+def test_segment_backend_identical(monkeypatch):
+    # Force the dense-mesh segment-walk kernel on a small scene and compare
+    # byte-for-byte against the jnp oracle.
+    monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", 1)
+    monkeypatch.setenv("VF_BACKEND", "pallas")
+    s1 = vf.Scene(160, 120, 32, "viridis")
+    seg_img = s1.render_rgba()
+    monkeypatch.setenv("VF_BACKEND", "jnp")
+    s2 = vf.Scene(160, 120, 32, "viridis")
+    ref_img = s2.render_rgba()
+    np.testing.assert_array_equal(seg_img, ref_img)
+
+
 def test_triangle_golden_properties():
     img = pipeline.render_triangle_u8(256, 256)
     # Clear is white (src/lib.rs:19) and the sRGB encode of 1.0 is 255.

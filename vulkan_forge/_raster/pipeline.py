@@ -56,11 +56,21 @@ def _round_span(n: int) -> int:
     return c
 
 
+# Above this triangle count the segment-walk kernel (culled+compacted
+# contiguous streaming) beats the list kernel (gathered per-tile lists).
+SEGMENT_THRESHOLD = 65536
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_h", "tile_w"))
 def _bin_stats(bbox, width, height, tile_h=TILE_H, tile_w=TILE_W):
     counts = tile_counts(bbox, width, height, tile_h, tile_w)
     sx, sy = tile_span_max(bbox, width, height, tile_h, tile_w)
     return counts.max(), sx, sy
+
+
+@jax.jit
+def _valid_count(bbox):
+    return jnp.sum((bbox[:, 1] >= bbox[:, 0]).astype(jnp.int32))
 
 
 def _static_bin_params(bbox, width, height):
@@ -106,6 +116,28 @@ def _terrain_render_from_records(records, bbox, heights, lut, h_min, h_max,
                                         spacing, exaggeration)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "row_size", "cap", "tile_h", "tile_w", "fs_mode"))
+def _terrain_render_segments(records, bbox, heights, lut, h_min, h_max,
+                             exposure, sun_dir, spacing, exaggeration,
+                             width, height, row_size, cap,
+                             tile_h=TILE_H, tile_w=TILE_W, fs_mode="shipped"):
+    """Segment-walk pallas path over culled+compacted records. The only
+    dynamic quantity is the valid-triangle count (host-rounded to pow2
+    buckets -> few recompiles)."""
+    from . import segments as seg
+    crecords, _ = seg.compact_valid(records, bbox, cap)
+    sb = seg.segment_bin(bbox, width, height, row_size, tile_h, tile_w)
+    v0, v1, v2, mask = seg.render_gbuffer_segments(
+        crecords, sb, width, height, tile_h, tile_w)
+    if fs_mode == "shipped":
+        h_range = h_max - h_min
+        return fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure, sun_dir)
+    return fragment.terrain_fs_extended(v0, v1, v2, mask, lut, heights,
+                                        h_min, h_max, exposure, sun_dir,
+                                        spacing, exaggeration)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "analytic"))
 def _terrain_records_extended(xyuv, indices, heights, view, proj, spacing,
                               exaggeration, width, height, analytic=False):
@@ -128,7 +160,7 @@ def _terrain_records_extended(xyuv, indices, heights, view, proj, spacing,
 def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggeration,
                       h_min, h_max, exposure, sun_dir, lut, width: int, height: int,
                       fs_mode: str = "shipped", normal_spacing=None,
-                      backend: Optional[str] = None,
+                      backend: Optional[str] = None, row_size: "int | None" = None,
                       as_device: bool = False) -> np.ndarray:
     """Render the terrain pipeline to an (H, W, 4) uint8 numpy array.
 
@@ -164,11 +196,22 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     # mesh may already be in world units (spacing=1) while normals still
     # need the true DEM spacing.
     nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
-    capacity, span_x, span_y = _static_bin_params(bbox, width, height)
-    img_u32 = _terrain_render_from_records(
-        records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
-        nsp, exaggeration, width, height, capacity, span_x, span_y,
-        fs_mode=fs_mode, use_pallas=(be == "pallas"))
+    T = int(indices.shape[0])
+    if be == "pallas" and T > SEGMENT_THRESHOLD:
+        # Segment-walk kernel over culled+compacted records. row_size is
+        # the id stride of one mesh row (2*(G-1) for grids; T for arbitrary
+        # geometry, which degenerates to interval binning).
+        rs = int(row_size) if row_size else T
+        cap = _round_capacity(int(jax.device_get(_valid_count(bbox))))
+        img_u32 = _terrain_render_segments(
+            records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
+            nsp, exaggeration, width, height, rs, cap, fs_mode=fs_mode)
+    else:
+        capacity, span_x, span_y = _static_bin_params(bbox, width, height)
+        img_u32 = _terrain_render_from_records(
+            records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
+            nsp, exaggeration, width, height, capacity, span_x, span_y,
+            fs_mode=fs_mode, use_pallas=(be == "pallas"))
     if as_device:
         return img_u32
     return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
@@ -213,6 +256,46 @@ def _terrain_render_batch(xyuv, indices, heights, views, projs, lut,
         lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
                                                exposure, sun_dir)
     )(v0, v1, v2, mask)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "row_size", "cap", "fs_mode"))
+def _terrain_render_batch_segments(xyuv, indices, heights, views, projs, lut,
+                                   h_min, h_max, exposure, sun_dir, spacing,
+                                   exaggeration, width, height, row_size, cap,
+                                   fs_mode="shipped"):
+    """Batched segment-walk path (dense meshes): one pallas_call for all B
+    frames over per-frame culled+compacted record streams."""
+    from . import segments as seg
+
+    def prep(view, proj):
+        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+        x, y, _, w = clip_to_fb(clip, width, height)
+        records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+        crecords, _ = seg.compact_valid(records, bbox, cap)
+        return crecords, seg.segment_bin(bbox, width, height, row_size)
+
+    crecords_b, sb_b = jax.vmap(prep)(views, projs)
+    v0, v1, v2, mask = seg.render_gbuffer_segments_batch(
+        crecords_b, sb_b, width, height)
+    h_range = h_max - h_min
+    return jax.vmap(
+        lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
+                                               exposure, sun_dir)
+    )(v0, v1, v2, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _terrain_batch_valid_count(xyuv, indices, heights, views, projs,
+                               spacing, exaggeration, width, height):
+    def one(view, proj):
+        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+        x, y, _, w = clip_to_fb(clip, width, height)
+        _, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+        return _valid_count.__wrapped__(bbox)
+    return jax.vmap(one)(views, projs).max()
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))

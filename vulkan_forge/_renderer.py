@@ -281,7 +281,8 @@ class Renderer:
             h_min=self._terrain_meta.h_min, h_max=self._terrain_meta.h_max,
             exposure=self._globals.exposure, sun_dir=self._globals.sun_dir,
             lut=lut, width=self.width, height=self.height,
-            fs_mode="extended", as_device=True)
+            fs_mode="extended", row_size=2 * (terr.width - 1),
+            as_device=True)
         jax.block_until_ready(dev)
         t1 = time.perf_counter()
         img = _formats.u32_image_to_rgba_u8(jax.device_get(dev))
