@@ -163,46 +163,58 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
     r0 = r_bounds_ref[frame, 0, ty_local]
     r1 = r_bounds_ref[frame, 1, ty_local]
 
-    def row_body(r, carry):
-        state, slot = carry
-        # Tables are blocked per (frame, tile column); the dynamic row index
-        # rides the sublane dim (Mosaic forbids dynamic lane indexing).
+    def seg_params(r):
+        """Absolute compacted-stream interval for (row r, this tile column),
+        start aligned DOWN to the physical (8,128) tile rows (an unaligned
+        DMA fragments into per-row transfers). Extra leading triangles are
+        either same-row predecessors whose bboxes miss this tile column
+        (coverage rejects) or the previous row's tail (idempotent under the
+        max-id painter rule)."""
         lo_raw = seglo_ref[0, 0, r, 0]
         hi = seghi_ref[0, 0, r, 0]
-        # Absolute compacted-stream interval for this (row, tile column),
-        # with the start aligned DOWN to the physical (8,128) tile rows (an
-        # unaligned DMA fragments into per-row transfers). Extra leading
-        # triangles are either same-row predecessors whose bboxes miss this
-        # tile column (coverage rejects) or the previous row's tail
-        # (idempotent under the max-id painter rule).
-        base_raw = rowbase_ref[0, 0, r, 0] + lo_raw
-        end = rowbase_ref[0, 0, r, 0] + hi          # inclusive
-        base = (base_raw // 8) * 8
-        n = end - base + 1
-        n = jnp.where(hi < lo_raw, 0, n)            # empty segment
+        rb = rowbase_ref[0, 0, r, 0]
+        base = ((rb + lo_raw) // 8) * 8
+        n = jnp.where(hi < lo_raw, 0, rb + hi - base + 1)
+        return base, n
+
+    def start_dma(base, b, slot):
+        start = frame * frame_stride + base + b * SEG_BLK
+        return pltpu.make_async_copy(
+            recs_ref.at[pl.ds(start, SEG_BLK), :],
+            scratch.at[slot], sem.at[slot])  # (SEG_BLK, 128) slab
+
+    def row_body(r, carry):
+        state, slot, pending = carry
+        base, n = seg_params(r)
         # Empty rows yield a zero-trip block loop (no branch: lax.cond with
         # large vector carries copies state on both arms).
         nblk = jnp.maximum((n + SEG_BLK - 1) // SEG_BLK, 0)
 
-        def start_dma(b, slot):
-            start = frame * frame_stride + base + b * SEG_BLK
-            return pltpu.make_async_copy(
-                recs_ref.at[pl.ds(start, SEG_BLK), :],
-                scratch.at[slot], sem.at[slot])  # (SEG_BLK, 128) slab
-
-        @pl.when(nblk > 0)
+        # Block 0 is either already in flight (cross-row prefetch from the
+        # previous iteration) or started now.
+        @pl.when((nblk > 0) & jnp.logical_not(pending))
         def _():
-            start_dma(0, slot).start()
+            start_dma(base, 0, slot).start()
+
+        # Cross-row prefetch: while computing this row, fetch the NEXT
+        # row's first block into the other buffer. Only in the common
+        # single-block case -- multi-block rows own both buffers.
+        nxt = jnp.minimum(r + 1, r1)
+        base1, n1 = seg_params(nxt)
+        can_prefetch = (nblk == 1) & (r < r1) & (n1 > 0)
+
+        @pl.when(can_prefetch)
+        def _():
+            start_dma(base1, 0, 1 - slot).start()
 
         if True:
             def blk_body(b, c2):
                 state, slot = c2
-                # Prefetch the next block into the other buffer, then wait
-                # for and consume the current one (double buffering).
-                @pl.when(b + 1 < nblk)
+                # Within-row double buffering (multi-block rows only).
+                @pl.when((b + 1 < nblk) & jnp.logical_not(can_prefetch))
                 def _():
-                    start_dma(b + 1, 1 - slot).start()
-                start_dma(b, slot).wait()
+                    start_dma(base, b + 1, 1 - slot).start()
+                start_dma(base, b, slot).wait()
                 remaining = n - b * SEG_BLK
                 nch = jnp.minimum((remaining + _CHUNK - 1) // _CHUNK,
                                   SEG_BLK // _CHUNK)
@@ -237,10 +249,13 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
                 state = jax.lax.fori_loop(0, nch, chunk, state)
                 return (state, 1 - slot)
 
-            return jax.lax.fori_loop(0, nblk, blk_body, (state, slot))
+            state, slot = jax.lax.fori_loop(0, nblk, blk_body, (state, slot))
+            # A single-block row that prefetched leaves the next row's block
+            # 0 in flight in the buffer `slot` now points at.
+            return (state, slot, can_prefetch)
 
-    (acc_id, acc0, acc1, acc2, accw), _ = jax.lax.fori_loop(
-        r0, r1 + 1, row_body, (init_state, 0))
+    (acc_id, acc0, acc1, acc2, accw), _, _ = jax.lax.fori_loop(
+        r0, r1 + 1, row_body, (init_state, 0, jnp.bool_(False)))
 
     winner = jnp.max(acc_id, axis=1, keepdims=True)
     sel = (acc_id == winner).astype(jnp.float32)
