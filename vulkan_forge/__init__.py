@@ -52,6 +52,7 @@ from ._colormap import colormap_supported
 from ._device import device_probe, enumerate_adapters
 from ._dem import dem_normalize, dem_stats
 from ._mesh import grid_generate
+from ._parallel import render_spike_frames
 
 
 def render_triangle_rgba(width: int, height: int):
@@ -99,4 +100,5 @@ __all__ = [
     "dem_stats", "dem_normalize",
     "grid_generate", "generate_grid",
     "enumerate_adapters", "device_probe",
+    "render_spike_frames",
 ]

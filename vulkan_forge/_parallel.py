@@ -88,7 +88,7 @@ def render_spike_frames(width: int, height: int, grid: int,
 
     sharded = shard_map(shard_fn, mesh=mesh,
                         in_specs=(P("frames"), P("frames")),
-                        out_specs=P("frames"), check_rep=False)
+                        out_specs=P("frames"), check_vma=False)
     with mesh:
         imgs_u32 = jax.jit(sharded)(jnp.asarray(views), jnp.asarray(projs))
         imgs_u32 = jax.device_get(imgs_u32)
