@@ -84,11 +84,12 @@ def main() -> int:
         cap = P._round_capacity(nval)
         row_size = 2 * (GRID - 1)
 
+        @jax.jit
         def frame(view, proj):
-            records, bbox = P._terrain_records(
+            records, bbox = P._terrain_records.__wrapped__(
                 xyuv, indices, heights, view, proj, args["spacing"],
                 args["exaggeration"], WIDTH, HEIGHT)
-            return P._terrain_render_segments(
+            return P._terrain_render_segments.__wrapped__(
                 records, bbox, heights, lut, args["h_min"], args["h_max"],
                 args["exposure"], args["sun_dir"], args["spacing"],
                 args["exaggeration"], WIDTH, HEIGHT, row_size, cap,
@@ -101,11 +102,12 @@ def main() -> int:
         span_x = P._round_span(int(sx))
         span_y = P._round_span(int(sy))
 
+        @jax.jit
         def frame(view, proj):
-            records, bbox = P._terrain_records(
+            records, bbox = P._terrain_records.__wrapped__(
                 xyuv, indices, heights, view, proj, args["spacing"],
                 args["exaggeration"], WIDTH, HEIGHT)
-            return P._terrain_render_from_records(
+            return P._terrain_render_from_records.__wrapped__(
                 records, bbox, heights, lut, args["h_min"], args["h_max"],
                 args["exposure"], args["sun_dir"], args["spacing"],
                 args["exaggeration"], WIDTH, HEIGHT, capacity, span_x,

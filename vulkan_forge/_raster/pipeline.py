@@ -58,7 +58,9 @@ def _round_span(n: int) -> int:
 
 # Above this triangle count the segment-walk kernel (culled+compacted
 # contiguous streaming) beats the list kernel (gathered per-tile lists).
-SEGMENT_THRESHOLD = 65536
+# Measured at 800x600: grid=256 (130K tris) lists win 2.5x; grid=1024
+# (2.1M tris) segments win >1.4x and avoid the list gather's OOM.
+SEGMENT_THRESHOLD = 200_000
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_h", "tile_w"))

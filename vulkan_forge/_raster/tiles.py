@@ -12,7 +12,6 @@ XLA-fused epilogues (see fragment.py).
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
