@@ -83,17 +83,21 @@ def main() -> int:
             args["exaggeration"], WIDTH, HEIGHT)))
         cap = P._round_capacity(nval)
         row_size = 2 * (GRID - 1)
+        perm_c = jnp.asarray(P._column_major_perm(GRID - 1, GRID - 1))
+        rs_c = row_size  # square grid: both axes share the stride
 
-        @jax.jit
         def frame(view, proj):
-            records, bbox = P._terrain_records.__wrapped__(
+            records, bbox = P._terrain_records(
                 xyuv, indices, heights, view, proj, args["spacing"],
                 args["exaggeration"], WIDTH, HEIGHT)
-            return P._terrain_render_segments.__wrapped__(
+            est_r, est_c = jax.device_get(P._segment_axis_estimate(
+                bbox, perm_c, WIDTH, HEIGHT, row_size, rs_c))
+            perm = perm_c if int(est_c) < int(est_r) else None
+            return P._terrain_render_segments(
                 records, bbox, heights, lut, args["h_min"], args["h_max"],
                 args["exposure"], args["sun_dir"], args["spacing"],
                 args["exaggeration"], WIDTH, HEIGHT, row_size, cap,
-                fs_mode="shipped")
+                perm=perm, fs_mode="shipped")
     else:
         cmax, sx, sy = jax.device_get(P._terrain_batch_counts(
             xyuv, indices, heights, views, projs, args["spacing"],

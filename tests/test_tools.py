@@ -10,7 +10,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=560):
+def _run(args, timeout=1100):
+    # Generous timeout: child processes may wait on the TPU device lock
+    # while other tests hold it, plus cold XLA compiles.
     return subprocess.run([sys.executable] + args, cwd=REPO, timeout=timeout,
                           capture_output=True, text=True)
 

@@ -118,17 +118,56 @@ def _terrain_render_from_records(records, bbox, heights, lut, h_min, h_max,
                                         spacing, exaggeration)
 
 
+@functools.lru_cache(maxsize=32)
+def _column_major_perm(cells_rows: int, cells_cols: int):
+    """Stream order that walks a grid mesh column by column.
+
+    perm[j] = original triangle id of stream position j; original ids are
+    row-major with 2 triangles per cell ((r*cols + c)*2 + k). The painter
+    rule reads ORIGINAL ids from the records (segments.ID_COL), so any walk
+    order paints identically.
+    """
+    r = np.arange(cells_rows)[:, None, None]
+    c = np.arange(cells_cols)[None, :, None]
+    k = np.arange(2)[None, None, :]
+    t = (r * cells_cols + c) * 2 + k
+    return np.ascontiguousarray(
+        np.transpose(t, (1, 0, 2)).reshape(-1).astype(np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "row_size_r", "row_size_c"))
+def _segment_axis_estimate(bbox, perm_c, width, height, row_size_r, row_size_c):
+    """Walk-work estimates for row-major vs column-major segment binning.
+
+    A mesh axis that projects near-vertically degenerates (every mesh row's
+    y-extent spans every tile row); the other axis is then cheap. Returns
+    two scalars the host compares.
+    """
+    from . import segments as seg
+    est_r = seg.segment_bin(bbox, width, height, row_size_r).counts_est.sum()
+    est_c = seg.segment_bin(bbox[perm_c], width, height,
+                            row_size_c).counts_est.sum()
+    return est_r, est_c
+
+
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "row_size", "cap", "tile_h", "tile_w", "fs_mode"))
 def _terrain_render_segments(records, bbox, heights, lut, h_min, h_max,
                              exposure, sun_dir, spacing, exaggeration,
-                             width, height, row_size, cap,
+                             width, height, row_size, cap, perm=None,
                              tile_h=TILE_H, tile_w=TILE_W, fs_mode="shipped"):
     """Segment-walk pallas path over culled+compacted records. The only
     dynamic quantity is the valid-triangle count (host-rounded to pow2
-    buckets -> few recompiles)."""
+    buckets -> few recompiles). ``perm`` optionally reorders the record
+    stream (e.g. column-major) -- painter output is identical because the
+    kernel compares original draw-order ids."""
     from . import segments as seg
-    crecords, _ = seg.compact_valid(records, bbox, cap)
+    if perm is not None:
+        bbox = bbox[perm]
+        crecords, _ = seg.compact_valid(records, bbox, cap, ids=perm)
+    else:
+        crecords, _ = seg.compact_valid(records, bbox, cap)
     sb = seg.segment_bin(bbox, width, height, row_size, tile_h, tile_w)
     v0, v1, v2, mask = seg.render_gbuffer_segments(
         crecords, sb, width, height, tile_h, tile_w)
@@ -205,9 +244,22 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
         # geometry, which degenerates to interval binning).
         rs = int(row_size) if row_size else T
         cap = _round_capacity(int(jax.device_get(_valid_count(bbox))))
+        # Axis adaptation for grid meshes: walk along whichever mesh axis
+        # projects cheaper this frame (the other can degenerate when its
+        # rows run vertically on screen).
+        perm, rs_used = None, rs
+        if 0 < rs < T and T % rs == 0:
+            cells_rows, cells_cols = T // rs, rs // 2
+            perm_c = jnp.asarray(_column_major_perm(cells_rows, cells_cols))
+            rs_c = 2 * cells_rows
+            est_r, est_c = jax.device_get(_segment_axis_estimate(
+                bbox, perm_c, width, height, rs, rs_c))
+            if int(est_c) < int(est_r):
+                perm, rs_used = perm_c, rs_c
         img_u32 = _terrain_render_segments(
             records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
-            nsp, exaggeration, width, height, rs, cap, fs_mode=fs_mode)
+            nsp, exaggeration, width, height, rs_used, cap, perm=perm,
+            fs_mode=fs_mode)
     else:
         capacity, span_x, span_y = _static_bin_params(bbox, width, height)
         img_u32 = _terrain_render_from_records(

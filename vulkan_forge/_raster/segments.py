@@ -50,20 +50,30 @@ class SegmentBinning(NamedTuple):
     counts_est: jnp.ndarray  # (NTY*NTX,) int32 upper-bound work estimate
 
 
-def compact_valid(records, bbox, cap: int):
+ID_COL = 25  # record column carrying the ORIGINAL triangle id (as f32)
+
+
+def compact_valid(records, bbox, cap: int, ids=None):
     """Row-gather the valid-triangle records into a dense stream.
 
     Typically only a small fraction of a dense mesh's triangles survive
     back-face + zero-pixel-center culling (e.g. ~10% for a 1024-grid at
     800x600); compaction removes the 90% dead weight from the segment walk.
-    Order-preserving, so compacted ids keep painter order. ``cap`` is the
-    static capacity (host-rounded from the valid count).
+    ``cap`` is the static capacity (host-rounded from the valid count).
+
+    The ORIGINAL triangle id (draw order) is written into record column
+    ID_COL so the kernel's painter rule stays exact even when the stream is
+    walked in a permuted (e.g. column-major) order. ``ids`` maps stream
+    position -> original id (default: identity). f32-exact for T < 2^24.
     Returns (crecords (cap+1, REC_WIDTH), src_idx (cap,)).
     """
     T = bbox.shape[0]
     valid = bbox[:, 1] >= bbox[:, 0]
     src = jnp.nonzero(valid, size=cap, fill_value=T)[0].astype(jnp.int32)
     crecords = records[src]                       # fast row gather
+    orig = src if ids is None else jnp.concatenate(
+        [ids.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])[src]
+    crecords = crecords.at[:, ID_COL].set(orig.astype(jnp.float32))
     sentinel = jnp.zeros((1, records.shape[1]), records.dtype)
     return jnp.concatenate([crecords, sentinel], axis=0), src
 
@@ -238,13 +248,16 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
                     a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
                     a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
                     aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
-                    # Global triangle id (exact in f32 for T < 2^24).
-                    ids = (base + local).astype(jnp.float32)
-                    return (jnp.where(cov, ids, acc_id),
-                            jnp.where(cov, a0, a0s),
-                            jnp.where(cov, a1, a1s),
-                            jnp.where(cov, a2, a2s),
-                            jnp.where(cov, aw, aws))
+                    # ORIGINAL draw-order id from the record (f32-exact):
+                    # max-id merge makes the walk order-independent, so a
+                    # permuted (column-major) stream still paints exactly.
+                    ids = col(ID_COL) * jnp.ones_like(f0)
+                    better = cov & (ids > acc_id)
+                    return (jnp.where(better, ids, acc_id),
+                            jnp.where(better, a0, a0s),
+                            jnp.where(better, a1, a1s),
+                            jnp.where(better, a2, a2s),
+                            jnp.where(better, aw, aws))
 
                 state = jax.lax.fori_loop(0, nch, chunk, state)
                 return (state, 1 - slot)
