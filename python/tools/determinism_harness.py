@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
 """Determinism harness for the TPU vulkan-forge build.
 
-Renders the triangle N times (optionally across processes) and asserts the
-raw RGBA bytes hash identically; writes a JSON report. Same CLI surface and
-JSON shape as the reference tool (python/tools/determinism_harness.py).
+Renders a scene N times (optionally across processes) and asserts the raw
+RGBA bytes hash identically; writes a JSON report with the same keys as the
+reference tool (python/tools/determinism_harness.py:80-111: width/height/
+runs/processes/hashes/unique/all_equal/avg_ms, optional png/png_error).
+
+Extension over the reference: --scene terrain hashes the full terrain
+pipeline (both raster kernels + backend selection) instead of only the
+gradient triangle.
 """
 from __future__ import annotations
 
@@ -13,7 +18,7 @@ import json
 import os
 import sys
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import dataclass
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir, os.pardir))
@@ -30,33 +35,42 @@ class RunResult:
     millis: float
 
 
-def render_bytes(w: int, h: int) -> bytes:
+def render_bytes(w: int, h: int, scene: str = "triangle") -> bytes:
+    if scene == "terrain":
+        import numpy as np
+        from vulkan_forge import Scene
+        s = Scene(w, h, 32, "viridis")
+        hm = np.outer(np.sin(np.linspace(0, 3, 64)),
+                      np.cos(np.linspace(0, 2, 64))).astype(np.float32)
+        s.set_height_from_r32f(hm)
+        return s.render_rgba().tobytes()
     r = Renderer(w, h)
     return r.render_triangle_rgba().tobytes()
 
 
-def run_sequential(w: int, h: int, runs: int) -> "list[RunResult]":
+def run_sequential(w: int, h: int, runs: int, scene: str) -> "list[RunResult]":
     out = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        b = render_bytes(w, h)
+        b = render_bytes(w, h, scene)
         dt = (time.perf_counter() - t0) * 1000.0
         out.append(RunResult(hashlib.sha256(b).hexdigest(), dt))
     return out
 
 
-def _mp_worker(q, w, h):
-    b = render_bytes(w, h)
+def _mp_worker(q, w, h, scene):
+    b = render_bytes(w, h, scene)
     q.put((hashlib.sha256(b).hexdigest(), len(b)))
 
 
-def run_multiprocess(w: int, h: int, runs: int, procs: int) -> "list[RunResult]":
+def run_multiprocess(w: int, h: int, runs: int, procs: int,
+                     scene: str) -> "list[RunResult]":
     import multiprocessing as mp
     ctx = mp.get_context("spawn")  # fresh JAX runtime per child
     results = []
     for _ in range(runs):
         q = ctx.Queue()
-        ps = [ctx.Process(target=_mp_worker, args=(q, w, h))
+        ps = [ctx.Process(target=_mp_worker, args=(q, w, h, scene))
               for _ in range(max(1, procs))]
         t0 = time.perf_counter()
         for p in ps:
@@ -82,38 +96,50 @@ def main(argv=None) -> int:
                     help=">0 enables multi-process check")
     ap.add_argument("--png", action="store_true", help="also write PNG to --out-dir")
     ap.add_argument("--out-dir", default="determinism_artifacts")
+    ap.add_argument("--scene", choices=("triangle", "terrain"),
+                    default="triangle",
+                    help="what to hash (terrain covers the full DEM pipeline)")
     args = ap.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
 
     if args.processes > 0:
-        results = run_multiprocess(args.width, args.height, args.runs, args.processes)
+        results = run_multiprocess(args.width, args.height, args.runs,
+                                   args.processes, args.scene)
     else:
-        results = run_sequential(args.width, args.height, args.runs)
+        results = run_sequential(args.width, args.height, args.runs, args.scene)
 
-    hashes = {r.sha256 for r in results}
-    ok = len(hashes) == 1
-
-    if args.png:
-        r = Renderer(args.width, args.height)
-        r.render_triangle_png(os.path.join(args.out_dir, "triangle.png"))
-
+    shas = [r.sha256 for r in results]
+    unique = sorted(set(shas))
     report = {
         "width": args.width,
         "height": args.height,
         "runs": args.runs,
         "processes": args.processes,
-        "deterministic": ok,
-        "results": [asdict(r) for r in results],
+        "hashes": shas,
+        "unique": unique,
+        "all_equal": len(unique) == 1,
+        "avg_ms": sum(r.millis for r in results) / max(1, len(results)),
     }
-    path = os.path.join(args.out_dir, "determinism_report.json")
-    with open(path, "w", encoding="utf-8") as f:
+    if args.scene != "triangle":
+        report["scene"] = args.scene
+
+    if args.png:
+        try:
+            r = Renderer(args.width, args.height)
+            r.render_triangle_png(os.path.join(args.out_dir, "triangle.png"))
+            report["png"] = "triangle.png"
+        except Exception as e:  # pragma: no cover
+            report["png_error"] = str(e)
+
+    rep_path = os.path.join(args.out_dir, "determinism_report.json")
+    with open(rep_path, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
 
-    if not ok:
-        print("DETERMINISM FAILURE", file=sys.stderr)
-        return 1
+    if not report["all_equal"]:
+        raise SystemExit("Determinism check FAILED: differing hashes")
+    print("Determinism check OK")
     return 0
 
 

@@ -102,24 +102,31 @@ def main(argv=None) -> int:
         json.dump(rep, f, indent=2)
     print(json.dumps(rep, indent=2))
 
-    if os.environ.get("VF_ENFORCE_PERF") == "1":
+    # Enforcement parity with the reference tool: opt-in, and failures exit
+    # with code 2 (perf_sanity.py:118-137 in the reference).
+    if os.environ.get("VF_ENFORCE_PERF", "").strip() == "1":
         p95 = rep["steady"]["p95_ms"]
         if args.baseline:
-            with open(args.baseline, "r", encoding="utf-8") as f:
-                base = json.load(f)
-            base_p95 = base["steady"]["p95_ms"]
-            limit = base_p95 * (1.0 + args.regress_pct / 100.0)
-            if p95 > limit:
-                print(f"PERF REGRESSION: p95 {p95:.2f} ms > {limit:.2f} ms",
-                      file=sys.stderr)
-                return 1
+            try:
+                with open(args.baseline, "r", encoding="utf-8") as f:
+                    base = json.load(f)
+                base_p95 = float(base["steady"]["p95_ms"])
+                limit = base_p95 * (1.0 + args.regress_pct / 100.0)
+                if p95 > limit:
+                    print(f"FAIL: p95 {p95:.3f}ms > baseline {base_p95:.3f}ms"
+                          f" * (1 + {args.regress_pct:.1f}%) = {limit:.3f}ms")
+                    return 2
+            except Exception as e:
+                print(f"WARNING: failed to read baseline '{args.baseline}': {e}")
         else:
             budget = 40.0 * (args.width * args.height) / (512.0 * 512.0)
             limit = budget * args.budget_mult
             if p95 > limit:
-                print(f"PERF BUDGET EXCEEDED: p95 {p95:.2f} ms > {limit:.2f} ms",
-                      file=sys.stderr)
-                return 1
+                print(f"FAIL: p95 {p95:.3f}ms > scaled budget {limit:.3f}ms "
+                      f"(budget {budget:.3f} * mult {args.budget_mult:.2f})")
+                return 2
+
+    print("Performance sanity OK")
     return 0
 
 

@@ -20,6 +20,22 @@ def test_render_spike_frames_single_device_mesh():
     np.testing.assert_array_equal(imgs[0], t.render_rgba())
 
 
+def test_dryrun_multichip_8_device_mesh():
+    # The driver's multi-chip validation: with only 1 real chip available,
+    # dryrun_multichip must self-host on an 8-device virtual CPU mesh
+    # (re-exec'ing with --xla_force_host_platform_device_count since JAX is
+    # already initialized in this process).
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)  # raises on failure
+
+
 def test_render_spike_frames_validation():
     import jax
     import pytest

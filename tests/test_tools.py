@@ -32,7 +32,36 @@ def test_determinism_harness_cli(tmp_path):
               "--height", "32", "--runs", "2", "--out-dir", str(tmp_path)])
     assert r.returncode == 0, r.stdout + r.stderr
     rep = json.loads((tmp_path / "determinism_report.json").read_text())
-    assert rep["deterministic"] is True
+    # Field-for-field parity with the reference report schema
+    # (reference determinism_harness.py:82-91).
+    assert {"width", "height", "runs", "processes", "hashes", "unique",
+            "all_equal", "avg_ms"} <= set(rep)
+    assert rep["all_equal"] is True
+    assert len(rep["hashes"]) == 2 and len(rep["unique"]) == 1
+
+
+def test_determinism_harness_terrain_mode(tmp_path):
+    # Extension: hash the full terrain pipeline (two kernels + backend
+    # selection), not just the triangle.
+    r = _run(["python/tools/determinism_harness.py", "--width", "96",
+              "--height", "72", "--runs", "2", "--scene", "terrain",
+              "--out-dir", str(tmp_path)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.loads((tmp_path / "determinism_report.json").read_text())
+    assert rep["all_equal"] is True and rep["scene"] == "terrain"
+
+
+def test_perf_sanity_failure_exits_2(tmp_path):
+    # Reference parity: enforcement failures exit with code 2.
+    out = tmp_path / "perf.json"
+    env = dict(os.environ, VF_ENFORCE_PERF="1")
+    r = subprocess.run(
+        [sys.executable, "python/tools/perf_sanity.py", "--width", "64",
+         "--height", "64", "--runs", "2", "--warmups", "0",
+         "--budget-mult", "1e-9", "--json", str(out)],
+        cwd=REPO, timeout=1100, capture_output=True, text=True, env=env)
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "FAIL" in r.stdout
 
 
 @pytest.mark.skipif(os.environ.get("VF_TEST_PERF") != "1",

@@ -145,9 +145,12 @@ def _segment_axis_estimate(bbox, perm_c, width, height, row_size_r, row_size_c):
     two scalars the host compares.
     """
     from . import segments as seg
-    est_r = seg.segment_bin(bbox, width, height, row_size_r).counts_est.sum()
+    # Sum in f32: per-tile estimates fit int32 but the total can reach
+    # T * NTX (~1.7e10 at grid=4096), which overflows int32.
+    est_r = seg.segment_bin(bbox, width, height,
+                            row_size_r).counts_est.astype(jnp.float32).sum()
     est_c = seg.segment_bin(bbox[perm_c], width, height,
-                            row_size_c).counts_est.sum()
+                            row_size_c).counts_est.astype(jnp.float32).sum()
     return est_r, est_c
 
 
@@ -169,8 +172,11 @@ def _terrain_render_segments(records, bbox, heights, lut, h_min, h_max,
     else:
         crecords, _ = seg.compact_valid(records, bbox, cap)
     sb = seg.segment_bin(bbox, width, height, row_size, tile_h, tile_w)
+    # Adjacent f32 painter ids collide at 2^24 (grid>2896 meshes): switch to
+    # the exact split-id compare there. T is static, so this is trace-time.
+    exact_ids = int(records.shape[0]) - 1 >= (1 << 24)
     v0, v1, v2, mask = seg.render_gbuffer_segments(
-        crecords, sb, width, height, tile_h, tile_w)
+        crecords, sb, width, height, tile_h, tile_w, exact_ids=exact_ids)
     if fs_mode == "shipped":
         h_range = h_max - h_min
         return fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure, sun_dir)
@@ -254,7 +260,7 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
             rs_c = 2 * cells_rows
             est_r, est_c = jax.device_get(_segment_axis_estimate(
                 bbox, perm_c, width, height, rs, rs_c))
-            if int(est_c) < int(est_r):
+            if float(est_c) < float(est_r):
                 perm, rs_used = perm_c, rs_c
         img_u32 = _terrain_render_segments(
             records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
@@ -331,8 +337,9 @@ def _terrain_render_batch_segments(xyuv, indices, heights, views, projs, lut,
         return crecords, seg.segment_bin(bbox, width, height, row_size)
 
     crecords_b, sb_b = jax.vmap(prep)(views, projs)
+    exact_ids = int(indices.shape[0]) >= (1 << 24)
     v0, v1, v2, mask = seg.render_gbuffer_segments_batch(
-        crecords_b, sb_b, width, height)
+        crecords_b, sb_b, width, height, exact_ids=exact_ids)
     h_range = h_max - h_min
     return jax.vmap(
         lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,

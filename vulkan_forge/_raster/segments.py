@@ -50,7 +50,9 @@ class SegmentBinning(NamedTuple):
     counts_est: jnp.ndarray  # (NTY*NTX,) int32 upper-bound work estimate
 
 
-ID_COL = 25  # record column carrying the ORIGINAL triangle id (as f32)
+ID_COL = 25     # record column carrying the ORIGINAL triangle id (as f32)
+ID_HI_COL = 26  # id >> 12 as f32 (exact painter compare for T >= 2^24)
+ID_LO_COL = 27  # id & 4095 as f32
 
 
 def compact_valid(records, bbox, cap: int, ids=None):
@@ -61,19 +63,27 @@ def compact_valid(records, bbox, cap: int, ids=None):
     800x600); compaction removes the 90% dead weight from the segment walk.
     ``cap`` is the static capacity (host-rounded from the valid count).
 
-    The ORIGINAL triangle id (draw order) is written into record column
-    ID_COL so the kernel's painter rule stays exact even when the stream is
-    walked in a permuted (e.g. column-major) order. ``ids`` maps stream
-    position -> original id (default: identity). f32-exact for T < 2^24.
+    ``bbox`` may be a PERMUTED view of the triangle stream (e.g. the
+    column-major walk order); ``ids`` then maps stream position -> original
+    triangle id, and the gather pulls each permuted position's record from
+    its ORIGINAL row so geometry and painter id always agree. The original
+    draw-order id is written into ID_COL (f32-exact for T < 2^24) and split
+    into (ID_HI_COL, ID_LO_COL) for the exact compare used above that.
     Returns (crecords (cap+1, REC_WIDTH), src_idx (cap,)).
     """
     T = bbox.shape[0]
     valid = bbox[:, 1] >= bbox[:, 0]
     src = jnp.nonzero(valid, size=cap, fill_value=T)[0].astype(jnp.int32)
-    crecords = records[src]                       # fast row gather
-    orig = src if ids is None else jnp.concatenate(
-        [ids.astype(jnp.int32), jnp.zeros((1,), jnp.int32)])[src]
-    crecords = crecords.at[:, ID_COL].set(orig.astype(jnp.float32))
+    if ids is None:
+        orig = src  # fill positions gather the sentinel row T (never covers)
+    else:
+        orig = jnp.concatenate(
+            [ids.astype(jnp.int32), jnp.full((1,), T, jnp.int32)])[src]
+    crecords = records[orig]                      # fast row gather
+    orig_f = orig.astype(jnp.float32)
+    crecords = crecords.at[:, ID_COL].set(orig_f)
+    crecords = crecords.at[:, ID_HI_COL].set((orig >> 12).astype(jnp.float32))
+    crecords = crecords.at[:, ID_LO_COL].set((orig & 4095).astype(jnp.float32))
     sentinel = jnp.zeros((1, records.shape[1]), records.dtype)
     return jnp.concatenate([crecords, sentinel], axis=0), src
 
@@ -150,7 +160,7 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
                 recs_ref,                           # records in HBM
                 v0_ref, v1_ref, v2_ref, mask_ref,   # outputs
                 scratch, sem,                       # (2, SEG_BLK, 128), DMA sems
-                *, tile_h, tile_w, nty, frame_stride):
+                *, tile_h, tile_w, nty, frame_stride, exact_ids=False):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     frame = ty // nty
@@ -166,9 +176,12 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
         jnp.int32, (1, _CHUNK, 1), 1)                 # sublane = tri in chunk
 
     zero = jnp.zeros((R, _CHUNK, L), jnp.float32)
-    init_state = (jnp.full((R, _CHUNK, L), -1.0, jnp.float32),  # winner id
-                  zero, zero, zero,
-                  jnp.ones((R, _CHUNK, L), jnp.float32))
+    neg1 = jnp.full((R, _CHUNK, L), -1.0, jnp.float32)
+    # Painter-id accumulator: one f32 id (exact < 2^24), or a lexicographic
+    # (id>>12, id&4095) pair when T can exceed 2^24 (e.g. grid=4096 meshes).
+    id_init = (neg1, neg1) if exact_ids else (neg1,)
+    init_state = id_init + (zero, zero, zero,
+                            jnp.ones((R, _CHUNK, L), jnp.float32))
 
     r0 = r_bounds_ref[frame, 0, ty_local]
     r1 = r_bounds_ref[frame, 1, ty_local]
@@ -230,7 +243,7 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
                                   SEG_BLK // _CHUNK)
 
                 def chunk(ci, st):
-                    acc_id, a0s, a1s, a2s, aws = st
+                    id_acc, a0s, a1s, a2s, aws = st[:-4], st[-4], st[-3], st[-2], st[-1]
                     rec = scratch[slot, pl.ds(ci * _CHUNK, _CHUNK), :]
 
                     def col(k):
@@ -248,16 +261,26 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
                     a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
                     a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
                     aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
-                    # ORIGINAL draw-order id from the record (f32-exact):
-                    # max-id merge makes the walk order-independent, so a
-                    # permuted (column-major) stream still paints exactly.
-                    ids = col(ID_COL) * jnp.ones_like(f0)
-                    better = cov & (ids > acc_id)
-                    return (jnp.where(better, ids, acc_id),
-                            jnp.where(better, a0, a0s),
-                            jnp.where(better, a1, a1s),
-                            jnp.where(better, a2, a2s),
-                            jnp.where(better, aw, aws))
+                    # ORIGINAL draw-order id from the record: max-id merge
+                    # makes the walk order-independent, so a permuted
+                    # (column-major) stream still paints exactly.
+                    if exact_ids:
+                        acc_hi, acc_lo = id_acc
+                        hi = col(ID_HI_COL) * jnp.ones_like(f0)
+                        lo = col(ID_LO_COL) * jnp.ones_like(f0)
+                        better = cov & ((hi > acc_hi)
+                                        | ((hi == acc_hi) & (lo > acc_lo)))
+                        new_id = (jnp.where(better, hi, acc_hi),
+                                  jnp.where(better, lo, acc_lo))
+                    else:
+                        (acc_id,) = id_acc
+                        ids = col(ID_COL) * jnp.ones_like(f0)
+                        better = cov & (ids > acc_id)
+                        new_id = (jnp.where(better, ids, acc_id),)
+                    return new_id + (jnp.where(better, a0, a0s),
+                                     jnp.where(better, a1, a1s),
+                                     jnp.where(better, a2, a2s),
+                                     jnp.where(better, aw, aws))
 
                 state = jax.lax.fori_loop(0, nch, chunk, state)
                 return (state, 1 - slot)
@@ -267,12 +290,22 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
             # 0 in flight in the buffer `slot` now points at.
             return (state, slot, can_prefetch)
 
-    (acc_id, acc0, acc1, acc2, accw), _, _ = jax.lax.fori_loop(
+    state, _, _ = jax.lax.fori_loop(
         r0, r1 + 1, row_body, (init_state, 0, jnp.bool_(False)))
+    acc0, acc1, acc2, accw = state[-4], state[-3], state[-2], state[-1]
 
-    winner = jnp.max(acc_id, axis=1, keepdims=True)
-    sel = (acc_id == winner).astype(jnp.float32)
-    covered = winner[:, 0, :] >= 0.0
+    if exact_ids:
+        acc_hi, acc_lo = state[0], state[1]
+        whi = jnp.max(acc_hi, axis=1, keepdims=True)
+        cand = acc_hi == whi
+        wlo = jnp.max(jnp.where(cand, acc_lo, -1.0), axis=1, keepdims=True)
+        sel = (cand & (acc_lo == wlo)).astype(jnp.float32)
+        covered = whi[:, 0, :] >= 0.0
+    else:
+        acc_id = state[0]
+        winner = jnp.max(acc_id, axis=1, keepdims=True)
+        sel = (acc_id == winner).astype(jnp.float32)
+        covered = winner[:, 0, :] >= 0.0
     norm = 1.0 / jnp.sum(sel, axis=1)
     a0 = jnp.sum(acc0 * sel, axis=1) * norm
     a1 = jnp.sum(acc1 * sel, axis=1) * norm
@@ -288,26 +321,38 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
 
 def render_gbuffer_segments(records, binning: SegmentBinning,
                             width: int, height: int,
-                            tile_h: int = TILE_H, tile_w: int = TILE_W):
+                            tile_h: int = TILE_H, tile_w: int = TILE_W,
+                            exact_ids: bool = False):
     """Single-frame segment-walk raster over COMPACTED records."""
     v0, v1, v2, m = render_gbuffer_segments_batch(
         records[None], jax.tree.map(lambda a: a[None], binning),
-        width, height, tile_h, tile_w)
+        width, height, tile_h, tile_w, exact_ids=exact_ids)
     return v0[0], v1[0], v2[0], m[0]
 
 
 def render_gbuffer_segments_batch(records_b, binning_b: SegmentBinning,
                                   width: int, height: int,
-                                  tile_h: int = TILE_H, tile_w: int = TILE_W):
+                                  tile_h: int = TILE_H, tile_w: int = TILE_W,
+                                  exact_ids: bool = False):
     """B frames in one pallas_call (frame axis folded into the tile grid).
 
     records_b: (B, CAP+1, REC_WIDTH) COMPACTED records (compact_valid);
     binning fields carry a leading B axis. Returns 4 x (B, H, W).
+    ``exact_ids``: use the (hi, lo) split painter compare -- required when
+    original triangle ids can reach 2^24 (adjacent f32 ids collide there).
     """
     B, trec, _ = records_b.shape
     nty = -(-height // tile_h)
     ntx = -(-width // tile_w)
     rows = binning_b.seg_lo.shape[2]
+
+    # Per-frame stride must stay a multiple of 8 rows: the kernel aligns DMA
+    # starts down to 8-row boundaries WITHIN a frame, so an unaligned stride
+    # would fragment every frame>0 DMA into per-row transfers.
+    trec_pad = -(-trec // 8) * 8
+    if trec_pad != trec:
+        records_b = jnp.pad(records_b, ((0, 0), (0, trec_pad - trec), (0, 0)))
+        trec = trec_pad
 
     # Pad the flattened record stream (a) to 128 lanes so DMA slabs match
     # XLA's physical (8,128) tiling without lane slicing, and (b) by SEG_BLK
@@ -319,7 +364,8 @@ def render_gbuffer_segments_batch(records_b, binning_b: SegmentBinning,
     out_shape = jax.ShapeDtypeStruct((B * nty * tile_h, ntx * tile_w),
                                      jnp.float32)
     kernel = functools.partial(_seg_kernel, tile_h=tile_h, tile_w=tile_w,
-                               nty=nty, frame_stride=trec)
+                               nty=nty, frame_stride=trec,
+                               exact_ids=exact_ids)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
