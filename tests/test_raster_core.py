@@ -29,9 +29,10 @@ def test_terrain_backends_identical(monkeypatch):
 
 
 def test_segment_backend_identical(monkeypatch):
-    # Force the dense-mesh segment-walk kernel on a small scene and compare
-    # byte-for-byte against the jnp oracle.
+    # Force the round-1 segment-walk kernel (tall-framebuffer fallback) on a
+    # small scene and compare byte-for-byte against the jnp oracle.
     monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", 1)
+    monkeypatch.setattr(pipeline, "_strips_fit", lambda h: False)
     monkeypatch.setenv("VF_BACKEND", "pallas")
     s1 = vf.Scene(160, 120, 32, "viridis")
     seg_img = s1.render_rgba()
@@ -46,7 +47,10 @@ def test_segment_backend_forced_column_major_identical(monkeypatch):
     # permuted stream position's record from its ORIGINAL row; a mismatch
     # renders wrong triangles (round-1 advisor finding). Force the perm
     # branch regardless of the work estimates and compare to the oracle.
+    # (_strips_fit is forced off so the tall-framebuffer segment fallback
+    # path stays covered now that strips is the default dense path.)
     monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", 1)
+    monkeypatch.setattr(pipeline, "_strips_fit", lambda h: False)
     monkeypatch.setattr(pipeline, "_segment_axis_estimate",
                         lambda *a, **k: (np.float32(2.0), np.float32(1.0)))
     monkeypatch.setenv("VF_BACKEND", "pallas")
@@ -59,6 +63,62 @@ def test_segment_backend_forced_column_major_identical(monkeypatch):
     s2 = vf.Scene(160, 120, 32, "magma")
     s2.set_height_from_r32f(h)
     np.testing.assert_array_equal(seg_img, s2.render_rgba())
+
+
+def test_strip_backend_identical(monkeypatch):
+    # The strip-walk kernel (round-2 dense-mesh default) must match the jnp
+    # oracle byte-for-byte through the Scene API.
+    monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", 1)
+    monkeypatch.setenv("VF_BACKEND", "pallas")
+    h = (np.outer(np.cos(np.linspace(0, 4, 32)),
+                  np.sin(np.linspace(0, 3, 32)))).astype(np.float32)
+    s1 = vf.Scene(160, 120, 32, "terrain")
+    s1.set_height_from_r32f(h)
+    strip_img = s1.render_rgba()
+    monkeypatch.setenv("VF_BACKEND", "jnp")
+    s2 = vf.Scene(160, 120, 32, "terrain")
+    s2.set_height_from_r32f(h)
+    np.testing.assert_array_equal(strip_img, s2.render_rgba())
+
+
+def test_strips_batch_matches_single():
+    # Batched strip path (one pallas_call for B frames) must equal B
+    # single-frame renders exactly.
+    import math
+    import jax
+    import jax.numpy as jnp
+    from vulkan_forge import _camera, _colormap, _mesh
+
+    GRID, W, H = 24, 256, 96
+    xyuv, idx = _mesh.build_grid_xyuv(GRID)
+    xyuv = jnp.asarray(xyuv)
+    indices = jnp.asarray(np.asarray(idx).astype(np.int32).reshape(-1, 3))
+    heights = jnp.zeros((1, 1), jnp.float32)
+    lut = jnp.asarray(_colormap.build_lut("viridis")[0])
+    sun = jnp.asarray(np.array([0.5, 1.0, 0.3], np.float32)
+                      / np.linalg.norm([0.5, 1.0, 0.3]))
+    views, projs = [], []
+    for i in range(2):
+        ang = 0.7 + i
+        views.append(_camera.look_at_rh(
+            (3 * math.cos(ang), 2.0, 3 * math.sin(ang)), (0, 0, 0), (0, 1, 0)))
+        projs.append(_camera.perspective_wgpu(
+            np.float32(math.radians(45.0)), np.float32(W / H),
+            np.float32(0.1), np.float32(100.0)))
+    views = jnp.asarray(np.stack(views))
+    projs = jnp.asarray(np.stack(projs))
+    com = (jnp.float32(-0.5), jnp.float32(0.5), jnp.float32(1.0), sun,
+           jnp.float32(1.0), jnp.float32(1.0))
+    rs = 2 * (GRID - 1)
+    batch = pipeline._terrain_render_batch_strips(
+        xyuv, indices, heights, views, projs, lut, *com, W, H, rs)
+    for i in range(2):
+        records, bbox = pipeline._terrain_records(
+            xyuv, indices, heights, views[i], projs[i], com[4], com[5], W, H)
+        single = pipeline._terrain_render_strips(
+            records, bbox, heights, lut, *com[:4], com[4], com[5], W, H, rs)
+        np.testing.assert_array_equal(np.asarray(batch[i]),
+                                      np.asarray(single))
 
 
 def test_segment_exact_ids_identical():

@@ -75,9 +75,27 @@ def _valid_count(bbox):
     return jnp.sum((bbox[:, 1] >= bbox[:, 0]).astype(jnp.int32))
 
 
+# Ratchet cache for the list path's static binning parameters: capacities
+# only ever grow per (T, W, H), so a camera orbit reuses one compiled
+# executable instead of recompiling every time the per-tile max crosses a
+# pow2 bucket (rendering with a larger-than-needed capacity is correct --
+# lists pad with the sentinel id and the kernel loops by actual counts).
+_BIN_PARAM_RATCHET: dict = {}
+
+
 def _static_bin_params(bbox, width, height):
     cmax, sx, sy = jax.device_get(_bin_stats(bbox, width, height))
-    return _round_capacity(int(cmax)), _round_span(int(sx)), _round_span(int(sy))
+    key = (int(bbox.shape[0]), width, height)
+    cap = _round_capacity(int(cmax))
+    spx = _round_span(int(sx))
+    spy = _round_span(int(sy))
+    prev = _BIN_PARAM_RATCHET.get(key)
+    if prev is not None:
+        cap = max(cap, prev[0])
+        spx = max(spx, prev[1])
+        spy = max(spy, prev[2])
+    _BIN_PARAM_RATCHET[key] = (cap, spx, spy)
+    return cap, spx, spy
 
 
 # ---------------- terrain ----------------
@@ -152,6 +170,33 @@ def _segment_axis_estimate(bbox, perm_c, width, height, row_size_r, row_size_c):
     est_c = seg.segment_bin(bbox[perm_c], width, height,
                             row_size_c).counts_est.astype(jnp.float32).sum()
     return est_r, est_c
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "row_size", "fs_mode"))
+def _terrain_render_strips(records, bbox, heights, lut, h_min, h_max,
+                           exposure, sun_dir, spacing, exaggeration,
+                           width, height, row_size, fs_mode="shipped"):
+    """Strip-walk pallas path over draw-order records (strips.py).
+
+    No data-dependent shapes: no valid-count host sync, no capacity
+    buckets, no axis-estimate roundtrip -- one compile per scene config.
+    """
+    from . import strips
+    v0, v1, v2, mask = strips.render_gbuffer_strips(
+        records, bbox, row_size, width, height)
+    if fs_mode == "shipped":
+        h_range = h_max - h_min
+        return fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure, sun_dir)
+    return fragment.terrain_fs_extended(v0, v1, v2, mask, lut, heights,
+                                        h_min, h_max, exposure, sun_dir,
+                                        spacing, exaggeration)
+
+
+def _strips_fit(height: int) -> bool:
+    """Six f32 accumulator strips must fit VMEM (strips.py)."""
+    h8 = -(-height // TILE_H) * TILE_H
+    return h8 * 128 * 4 * 6 < 12 * 2**20
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -244,15 +289,25 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     # need the true DEM spacing.
     nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
     T = int(indices.shape[0])
-    if be == "pallas" and T > SEGMENT_THRESHOLD:
-        # Segment-walk kernel over culled+compacted records. row_size is
-        # the id stride of one mesh row (2*(G-1) for grids; T for arbitrary
-        # geometry, which degenerates to interval binning).
+    if be == "pallas" and _strips_fit(height):
+        # Strip-walk kernel straight over draw-order records: each
+        # (mesh-row, tile-column) interval is walked once into a
+        # full-height VMEM strip. row_size is the id stride of one mesh
+        # row (2*(G-1) for grids; T for arbitrary geometry, which
+        # degenerates to interval binning). Zero host roundtrips, zero
+        # data-dependent recompiles -- the default pallas terrain path
+        # (the list kernel recompiles whenever a camera move crosses a
+        # capacity bucket, which dominates real orbit workloads).
+        rs = int(row_size) if row_size else T
+        img_u32 = _terrain_render_strips(
+            records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
+            nsp, exaggeration, width, height, rs, fs_mode=fs_mode)
+    elif be == "pallas" and T > SEGMENT_THRESHOLD:
+        # Very tall framebuffers (H > ~2048): the strip accumulators don't
+        # fit VMEM; fall back to the round-1 segment-walk kernel over
+        # culled+compacted records with axis adaptation.
         rs = int(row_size) if row_size else T
         cap = _round_capacity(int(jax.device_get(_valid_count(bbox))))
-        # Axis adaptation for grid meshes: walk along whichever mesh axis
-        # projects cheaper this frame (the other can degenerate when its
-        # rows run vertically on screen).
         perm, rs_used = None, rs
         if 0 < rs < T and T % rs == 0:
             cells_rows, cells_cols = T // rs, rs // 2
@@ -311,6 +366,32 @@ def _terrain_render_batch(xyuv, indices, heights, views, projs, lut,
             lambda r, tl: tiles.render_gbuffer(r, tl, width, height)
         )(records_b, lists_b)
 
+    h_range = h_max - h_min
+    return jax.vmap(
+        lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
+                                               exposure, sun_dir)
+    )(v0, v1, v2, mask)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "row_size", "fs_mode"))
+def _terrain_render_batch_strips(xyuv, indices, heights, views, projs, lut,
+                                 h_min, h_max, exposure, sun_dir, spacing,
+                                 exaggeration, width, height, row_size,
+                                 fs_mode="shipped"):
+    """Batched strip-walk path: B frames in one dispatch, one pallas_call,
+    no data-dependent shapes (the TPU throughput regime for dense meshes)."""
+    from . import strips
+
+    def prep(view, proj):
+        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+        x, y, _, w = clip_to_fb(clip, width, height)
+        return triangle_setup(x, y, w, varyings, indices, width, height)
+
+    records_b, bbox_b = jax.vmap(prep)(views, projs)
+    v0, v1, v2, mask = strips.render_gbuffer_strips_batch(
+        records_b, bbox_b, row_size, width, height)
     h_range = h_max - h_min
     return jax.vmap(
         lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
