@@ -153,3 +153,51 @@ def test_spike_default_proj_is_wgpu_clip():
     proj = np.array(u[16:32], dtype=np.float32).reshape(4, 4, order="F")
     expected = vf.camera_perspective(45.0, W / H, 0.1, 100.0, clip_space="wgpu")
     assert np.allclose(proj, expected, atol=1e-6)
+
+
+# ---- reference test-tail parity (tests/test_camera.py long tail) ----
+
+def test_look_at_numerical_z_translation():
+    """Camera at (0,0,3) looking at origin: view[2,3] == -3 (RH, -Z fwd)."""
+    m = vf.camera_look_at(EYE, TGT, UP)
+    assert abs(float(m[2, 3]) - (-3.0)) < 1e-6
+
+
+@pytest.mark.parametrize("eye,tgt,up", [
+    ((float("inf"), 0.0, 0.0), TGT, UP),
+    (EYE, (float("nan"), 0.0, 0.0), UP),
+    (EYE, TGT, (0.0, float("inf"), 0.0)),
+])
+def test_look_at_nonfinite_each_argument(eye, tgt, up):
+    with pytest.raises(RuntimeError, match=E_FINITE):
+        vf.camera_look_at(eye, tgt, up)
+
+
+def test_view_proj_validates_fovy_and_colinear_up():
+    with pytest.raises(RuntimeError, match=E_FOVY):
+        vf.camera_view_proj(EYE, TGT, UP, 0.0, 1.0, 0.1, 100.0)
+    with pytest.raises(RuntimeError, match=E_COLINEAR):
+        vf.camera_view_proj(EYE, TGT, (0.0, 0.0, -1.0), 45.0, 1.0, 0.1, 100.0)
+
+
+@pytest.mark.parametrize("fovy", [180.0, -10.0, float("nan")])
+def test_perspective_fovy_edge_values(fovy):
+    with pytest.raises(RuntimeError, match=E_FOVY):
+        vf.camera_perspective(fovy, 1.0, 0.1, 100.0)
+
+
+def test_perspective_zfar_must_exceed_znear():
+    with pytest.raises(RuntimeError, match=E_FAR):
+        vf.camera_perspective(45.0, 1.0, 1.0, 1.0)
+    with pytest.raises(RuntimeError, match=E_FAR):
+        vf.camera_perspective(45.0, 1.0, 1.0, 0.5)
+
+
+def test_gl_clip_depth_range_differs_only_in_rows_2():
+    """gl vs wgpu projections agree except the depth (z) rows."""
+    gl = vf.camera_perspective(45.0, 1.5, 0.1, 100.0, "gl")
+    wg = vf.camera_perspective(45.0, 1.5, 0.1, 100.0, "wgpu")
+    np.testing.assert_array_equal(gl[0], wg[0])
+    np.testing.assert_array_equal(gl[1], wg[1])
+    np.testing.assert_array_equal(gl[3], wg[3])
+    assert not np.array_equal(gl[2], wg[2])

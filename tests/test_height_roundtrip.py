@@ -92,3 +92,24 @@ def test_float64_accepted_and_exaggeration_applied_at_ingest():
     r.add_terrain(hm, (1.0, 1.0), 3.0, "viridis")
     mn, mx, _, _ = r.terrain_stats()
     assert mn == pytest.approx(0.0) and mx == pytest.approx(3.0)
+
+
+def test_dirty_flag_normalize_then_reupload():
+    """Reference tests/test_height_upload.py::test_dirty_flag_behavior:
+    re-upload without changes is a no-op; normalize_terrain invalidates the
+    stored heights so the next upload reflects the new values."""
+    r = vf.Renderer(16, 16)
+    hm = _ramp((4, 4))
+    r.add_terrain(hm, (1.0, 1.0), 1.0, colormap="viridis")
+    r.upload_height_r32f()
+    before = r.read_full_height_texture().copy()
+
+    r.upload_height_r32f()
+    np.testing.assert_allclose(before, r.read_full_height_texture(), atol=0.0)
+
+    r.normalize_terrain("minmax", range=(10.0, 20.0), eps=None)
+    r.upload_height_r32f()
+    after = r.read_full_height_texture()
+    assert after.shape == before.shape
+    assert after.min() >= 9.99 and after.max() <= 20.01
+    assert not np.allclose(before, after)

@@ -64,18 +64,44 @@ def _render_with_sun(azimuth_deg):
 @pytest.mark.skipif(os.environ.get("VF_ENABLE_TERRAIN_TESTS", "1") == "0",
                     reason="disabled via VF_ENABLE_TERRAIN_TESTS=0")
 def test_east_west_sun_flip():
+    """Mid-row luminance PROFILES (reference tests/test_terrain_fs.py
+    semantics): with an east sun the entire east slope of the bump is
+    brighter than the west slope, row by row -- not just one pixel pair."""
     east = _render_with_sun(90.0)
     west = _render_with_sun(270.0)
     assert np.isfinite(east).all() and np.isfinite(west).all()
 
     Y_e = _luminance(east)
     Y_w = _luminance(west)
-    y = Y_e.shape[0] // 2
-    cx = Y_e.shape[1] // 2
+    h, w = Y_e.shape
+    cx = w // 2
     dx = 16
 
-    assert Y_e[y, cx + dx] > Y_e[y, cx - dx], "East sun should light east slope more"
-    assert Y_w[y, cx - dx] > Y_w[y, cx + dx], "West sun should light west slope more"
+    # Row-by-row paired comparison across the bump's mid band (the
+    # reference's single-row pair check, repeated over 9 rows). The default
+    # camera is diagonal, so the screen-x flip direction is taken from the
+    # pinned single-pixel semantics, not from wide averaged bands.
+    rows = list(range(h // 2 - 12, h // 2 + 13, 3))
+    e_wins = sum(Y_e[y, cx + dx] > Y_e[y, cx - dx] for y in rows)
+    w_wins = sum(Y_w[y, cx - dx] > Y_w[y, cx + dx] for y in rows)
+    n = len(rows)
+    assert e_wins == n, f"east sun: only {e_wins}/{n} rows brighter at +dx"
+    assert w_wins == n, f"west sun: only {w_wins}/{n} rows brighter at -dx"
+
+    # The difference field must have SUBSTANTIAL two-sided structure: an
+    # east<->west sun swap relights opposite slopes, it does not just scale
+    # brightness. (Catches a shader that ignores sun azimuth.)
+    D = Y_e - Y_w
+    thr = 0.01 * max(Y_e.max(), Y_w.max())
+    frac_pos = (D > thr).mean()
+    frac_neg = (D < -thr).mean()
+    assert frac_pos > 0.03, f"no east-lit region (frac={frac_pos:.4f})"
+    assert frac_neg > 0.03, f"no west-lit region (frac={frac_neg:.4f})"
+    # ... and it is a mirror, not a bias: both sides have equal area.
+    np.testing.assert_allclose(frac_pos, frac_neg, rtol=0.25)
+
+    # And total energy is approximately conserved under the mirror.
+    np.testing.assert_allclose(Y_e.mean(), Y_w.mean(), rtol=0.06)
 
 
 def test_exposure_brightens_render_rgba():

@@ -141,8 +141,8 @@ def test_segment_exact_ids_identical():
         np.float32(0.1), np.float32(100.0)))
     clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                           jnp.float32(1.0), jnp.float32(1.0))
-    x, y, _, w = clip_to_fb(clip, 160, 120)
-    records, bbox = triangle_setup(x, y, w, varyings, indices, 160, 120)
+    x, y, _z, w = clip_to_fb(clip, 160, 120)
+    records, bbox = triangle_setup(x, y, _z, w, varyings, indices, 160, 120)
     cap = 2048
     crec, _ = seg.compact_valid(records, bbox, cap)
     sb = seg.segment_bin(bbox, 160, 120, row_size=2 * 23)
@@ -188,9 +188,9 @@ def test_backface_culling():
     pos = jnp.asarray(pipeline._TRI_POS)
     col = jnp.asarray(pipeline._TRI_COLOR)
     clip, colors = transform.triangle_vs(pos, col)
-    x, y, _, w = clip_to_fb(clip, 64, 64)
+    x, y, _z, w = clip_to_fb(clip, 64, 64)
     rev = jnp.array([[0, 2, 1]], jnp.int32)  # flipped winding
-    records, bbox = triangle_setup(x, y, w, colors, rev, 64, 64)
+    records, bbox = triangle_setup(x, y, _z, w, colors, rev, 64, 64)
     binning = bin_triangles(bbox, 64, 64, capacity=8)
     v0, v1, v2, mask = tiles.render_gbuffer(records, binning.tile_lists, 64, 64)
     assert not bool(np.asarray(mask).any())
@@ -207,10 +207,10 @@ def test_adjacent_triangles_no_cracks_no_overdraw_gaps():
                      jnp.float32)
     cols = jnp.ones((4, 3), jnp.float32)
     clip, colors = transform.triangle_vs(quad, cols)
-    x, y, _, w = clip_to_fb(clip, 128, 128)
+    x, y, _z, w = clip_to_fb(clip, 128, 128)
     # CCW in NDC: (0,1,2) and (2,1,3)
     idx = jnp.array([[0, 1, 2], [2, 1, 3]], jnp.int32)
-    records, bbox = triangle_setup(x, y, w, colors, idx, 128, 128)
+    records, bbox = triangle_setup(x, y, _z, w, colors, idx, 128, 128)
     # Screen-sized triangles: span must cover the whole tile grid (the
     # production paths size spans from tile_span_max).
     binning = bin_triangles(bbox, 128, 128, capacity=8, span_x=1, span_y=16)

@@ -67,12 +67,16 @@ def _kernel(counts_ref, recs_ref, v0_ref, v1_ref, v2_ref, mask_ref, *,
         f0 = col(2) * dpx0 - col(3) * dpy0
         f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
         f2 = col(10) * (px - col(8)) - col(11) * (py - col(9))
-        cov = (f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0) & (col(24) > 0.0)
 
         a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
         a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
         a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
         aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+        # Clip-volume tests (setup.py "Near-plane clipping").
+        az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+        asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+        cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0) & (col(24) > 0.0)
+               & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
 
         # Triangle ids as f32 (exact below 2^24): sublane s in this chunk
         # holds id c0+s; ids ascend within each sublane across chunks.

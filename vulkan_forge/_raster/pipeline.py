@@ -105,8 +105,8 @@ def _terrain_records(xyuv, indices, heights, view, proj, spacing, exaggeration,
                      width, height, tile_h=TILE_H, tile_w=TILE_W):
     clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                           spacing, exaggeration)
-    x, y, _, w = clip_to_fb(clip, width, height)
-    records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+    x, y, _z, w = clip_to_fb(clip, width, height)
+    records, bbox = triangle_setup(x, y, _z, w, varyings, indices, width, height)
     return records, bbox
 
 
@@ -199,6 +199,83 @@ def _strips_fit(height: int) -> bool:
     return h8 * 128 * 4 * 6 < 12 * 2**20
 
 
+# ---------------- candidate-deposit dense path ----------------
+
+def _deposit_fit(T: int, height: int) -> bool:
+    from . import deposit as dep
+    nty = -(-height // TILE_H)
+    h8 = nty * TILE_H
+    return (T < (1 << 24) and nty <= dep._NTY_PAD
+            and h8 * 128 * 4 * 5 < 12 * 2**20)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _deposit_stats(bbox, width, height):
+    from . import deposit as dep
+    counts = dep.visit_counts(bbox, width, height)
+    valid = bbox[:, 1] >= bbox[:, 0]
+    span = jnp.where(valid, bbox[:, 1] - bbox[:, 0] + 1, 0).max()
+    return counts.max(), span
+
+
+# Ratchet cache: (T, W, H) -> (visit_cap, slots). Same growth-only policy
+# as the list path's capacity ratchet: one host sync per miss, camera
+# orbits reuse one executable.
+_DEPOSIT_RATCHET: dict = {}
+
+
+def _deposit_params(bbox, width, height):
+    key = (int(bbox.shape[0]), width, height)
+    prev = _DEPOSIT_RATCHET.get(key)
+    if prev is None:
+        cmax, span = jax.device_get(_deposit_stats(bbox, width, height))
+        if int(span) > 8:
+            return None  # triangles too wide: not a dense mesh
+        cap = _round_capacity(int(cmax) * 2)   # headroom across the orbit
+        slots = 4 if int(span) <= 4 else 8
+        _DEPOSIT_RATCHET[key] = (cap, slots)
+        return cap, slots
+    return prev
+
+
+def _deposit_bump(bbox, width, height):
+    """Grow the ratchet after an overflow (visits or span exceeded)."""
+    key = (int(bbox.shape[0]), width, height)
+    cmax, span = jax.device_get(_deposit_stats(bbox, width, height))
+    if int(span) > 8:
+        _DEPOSIT_RATCHET.pop(key, None)
+        return None
+    prev = _DEPOSIT_RATCHET.get(key, (8, 4))
+    cap = max(_round_capacity(int(cmax) * 2), prev[0])
+    slots = max(4 if int(span) <= 4 else 8, prev[1])
+    _DEPOSIT_RATCHET[key] = (cap, slots)
+    return cap, slots
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "cap", "slots", "fs_mode"))
+def _terrain_render_deposit(records, bbox, heights, lut, h_min, h_max,
+                            exposure, sun_dir, spacing, exaggeration,
+                            width, height, cap, slots, fs_mode="shipped"):
+    """Candidate-deposit pallas path (deposit.py): subpixel meshes.
+
+    Returns (u32 image, overflow bool). On overflow the image is invalid
+    (visit list truncated / span exceeded) and the caller falls back.
+    """
+    from . import deposit as dep
+    (v0, v1, v2, mask), ovf = dep.render_gbuffer_deposit(
+        records, bbox, width, height, cap, slots)
+    if fs_mode == "shipped":
+        h_range = h_max - h_min
+        img = fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure,
+                                  sun_dir)
+    else:
+        img = fragment.terrain_fs_extended(v0, v1, v2, mask, lut, heights,
+                                           h_min, h_max, exposure, sun_dir,
+                                           spacing, exaggeration)
+    return img, ovf
+
+
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "row_size", "cap", "tile_h", "tile_w", "fs_mode"))
 def _terrain_render_segments(records, bbox, heights, lut, h_min, h_max,
@@ -244,8 +321,8 @@ def _terrain_records_extended(xyuv, indices, heights, view, proj, spacing,
                        jnp.ones_like(x)], axis=-1)
     clip = (world @ view.T) @ proj.T
     varyings = jnp.stack([h, xyuv[:, 2], xyuv[:, 3]], axis=-1)
-    xf, yf, _, w = clip_to_fb(clip, width, height)
-    records, bbox = triangle_setup(xf, yf, w, varyings, indices, width, height)
+    xf, yf, _z, w = clip_to_fb(clip, width, height)
+    records, bbox = triangle_setup(xf, yf, _z, w, varyings, indices, width, height)
     return records, bbox
 
 
@@ -289,7 +366,25 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     # need the true DEM spacing.
     nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
     T = int(indices.shape[0])
-    if be == "pallas" and _strips_fit(height):
+    if (be == "pallas" and T > SEGMENT_THRESHOLD
+            and os.environ.get("VF_DEPOSIT", "0") == "1"
+            and _deposit_fit(T, height)
+            and (dp := _deposit_params(bbox, width, height)) is not None):
+        # Dense/subpixel meshes: candidate-deposit kernel (deposit.py) --
+        # ~5-8x the strip walk. Overflow (visit list or slot span exceeded
+        # by a frame beyond the ratcheted maximum) falls back to strips.
+        cap, slots = dp
+        img_u32, ovf = _terrain_render_deposit(
+            records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
+            nsp, exaggeration, width, height, cap, slots, fs_mode=fs_mode)
+        if bool(jax.device_get(ovf)):
+            _deposit_bump(bbox, width, height)
+            rs = int(row_size) if row_size else T
+            img_u32 = _terrain_render_strips(
+                records, bbox, heights, lut, h_min, h_max, exposure,
+                sun_dir, nsp, exaggeration, width, height, rs,
+                fs_mode=fs_mode)
+    elif be == "pallas" and _strips_fit(height):
         # Strip-walk kernel straight over draw-order records: each
         # (mesh-row, tile-column) interval is walked once into a
         # full-height VMEM strip. row_size is the id stride of one mesh
@@ -349,8 +444,8 @@ def _terrain_render_batch(xyuv, indices, heights, views, projs, lut,
     def prep(view, proj):
         clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                               spacing, exaggeration)
-        x, y, _, w = clip_to_fb(clip, width, height)
-        records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+        x, y, _z, w = clip_to_fb(clip, width, height)
+        records, bbox = triangle_setup(x, y, _z, w, varyings, indices, width, height)
         binning = bin_triangles(bbox, width, height, capacity,
                                 span_x=span_x, span_y=span_y)
         return records, binning.tile_lists, binning.counts
@@ -386,8 +481,8 @@ def _terrain_render_batch_strips(xyuv, indices, heights, views, projs, lut,
     def prep(view, proj):
         clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                               spacing, exaggeration)
-        x, y, _, w = clip_to_fb(clip, width, height)
-        return triangle_setup(x, y, w, varyings, indices, width, height)
+        x, y, _z, w = clip_to_fb(clip, width, height)
+        return triangle_setup(x, y, _z, w, varyings, indices, width, height)
 
     records_b, bbox_b = jax.vmap(prep)(views, projs)
     v0, v1, v2, mask = strips.render_gbuffer_strips_batch(
@@ -397,6 +492,33 @@ def _terrain_render_batch_strips(xyuv, indices, heights, views, projs, lut,
         lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
                                                exposure, sun_dir)
     )(v0, v1, v2, mask)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "cap", "slots", "fs_mode"))
+def _terrain_render_batch_deposit(xyuv, indices, heights, views, projs, lut,
+                                  h_min, h_max, exposure, sun_dir, spacing,
+                                  exaggeration, width, height, cap, slots,
+                                  fs_mode="shipped"):
+    """Batched candidate-deposit path: B frames in one dispatch, one
+    pallas_call. Returns (imgs (B,H,W) u32, overflow bool)."""
+    from . import deposit as dep
+
+    def prep(view, proj):
+        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+        x, y, _z, w = clip_to_fb(clip, width, height)
+        return triangle_setup(x, y, _z, w, varyings, indices, width, height)
+
+    records_b, bbox_b = jax.vmap(prep)(views, projs)
+    (v0, v1, v2, mask), ovf = dep.render_gbuffer_deposit_batch(
+        records_b, bbox_b, width, height, cap, slots)
+    h_range = h_max - h_min
+    imgs = jax.vmap(
+        lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
+                                               exposure, sun_dir)
+    )(v0, v1, v2, mask)
+    return imgs, ovf
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -412,8 +534,8 @@ def _terrain_render_batch_segments(xyuv, indices, heights, views, projs, lut,
     def prep(view, proj):
         clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                               spacing, exaggeration)
-        x, y, _, w = clip_to_fb(clip, width, height)
-        records, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+        x, y, _z, w = clip_to_fb(clip, width, height)
+        records, bbox = triangle_setup(x, y, _z, w, varyings, indices, width, height)
         crecords, _ = seg.compact_valid(records, bbox, cap)
         return crecords, seg.segment_bin(bbox, width, height, row_size)
 
@@ -434,8 +556,8 @@ def _terrain_batch_valid_count(xyuv, indices, heights, views, projs,
     def one(view, proj):
         clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                               spacing, exaggeration)
-        x, y, _, w = clip_to_fb(clip, width, height)
-        _, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+        x, y, _z, w = clip_to_fb(clip, width, height)
+        _, bbox = triangle_setup(x, y, _z, w, varyings, indices, width, height)
         return _valid_count.__wrapped__(bbox)
     return jax.vmap(one)(views, projs).max()
 
@@ -446,8 +568,8 @@ def _terrain_batch_counts(xyuv, indices, heights, views, projs,
     def one(view, proj):
         clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                               spacing, exaggeration)
-        x, y, _, w = clip_to_fb(clip, width, height)
-        _, bbox = triangle_setup(x, y, w, varyings, indices, width, height)
+        x, y, _z, w = clip_to_fb(clip, width, height)
+        _, bbox = triangle_setup(x, y, _z, w, varyings, indices, width, height)
         counts = tile_counts(bbox, width, height)
         sx, sy = tile_span_max(bbox, width, height)
         return counts.max(), sx, sy
@@ -466,9 +588,9 @@ _TRI_COLOR = np.array([[1.0, 0.2, 0.2], [0.2, 1.0, 0.2], [0.2, 0.2, 1.0]],
 @functools.partial(jax.jit, static_argnames=("width", "height", "use_pallas"))
 def _triangle_render(width, height, use_pallas=False):
     clip, colors = transform.triangle_vs(jnp.asarray(_TRI_POS), jnp.asarray(_TRI_COLOR))
-    x, y, _, w = clip_to_fb(clip, width, height)
+    x, y, _z, w = clip_to_fb(clip, width, height)
     indices = jnp.array([[0, 1, 2]], jnp.int32)
-    records, bbox = triangle_setup(x, y, w, colors, indices, width, height)
+    records, bbox = triangle_setup(x, y, _z, w, colors, indices, width, height)
     # One triangle spanning the whole screen: span covers every tile.
     binning = bin_triangles(bbox, width, height, capacity=8,
                             span_x=-(-width // TILE_W),

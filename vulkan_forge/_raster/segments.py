@@ -50,9 +50,10 @@ class SegmentBinning(NamedTuple):
     counts_est: jnp.ndarray  # (NTY*NTX,) int32 upper-bound work estimate
 
 
-ID_COL = 25     # record column carrying the ORIGINAL triangle id (as f32)
-ID_HI_COL = 26  # id >> 12 as f32 (exact painter compare for T >= 2^24)
-ID_LO_COL = 27  # id & 4095 as f32
+ID_COL = 32     # record column carrying the ORIGINAL triangle id (as f32)
+ID_HI_COL = 33  # id >> 12 as f32 (exact painter compare for T >= 2^24)
+ID_LO_COL = 34  # id & 4095 as f32
+# (cols 25..30 carry the near/far clip functionals -- setup.py record layout)
 
 
 def compact_valid(records, bbox, cap: int, ids=None):
@@ -255,12 +256,16 @@ def _seg_kernel(r_bounds_ref,                       # scalar prefetch (B,2,NTY)
                     # in-row local index of each sublane's triangle
                     local = (b * SEG_BLK + ci * _CHUNK) + lane_ids
                     inseg = local < n
-                    cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
-                           & (col(24) > 0.0) & inseg)
                     a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
                     a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
                     a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
                     aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+                    # Clip-volume tests (setup.py "Near-plane clipping").
+                    az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+                    asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+                    cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                           & (col(24) > 0.0) & inseg
+                           & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
                     # ORIGINAL draw-order id from the record: max-id merge
                     # makes the walk order-independent, so a permuted
                     # (column-major) stream still paints exactly.

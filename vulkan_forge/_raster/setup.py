@@ -21,19 +21,56 @@ Geometry conventions (pinned by the reference pipelines):
 Triangle records are (T+1, REC_WIDTH) f32 rows (row T is an always-invalid
 sentinel used to pad per-tile lists). Layout:
 
-  [0:4]   edge opp v0: (a.x, a.y, dy, dx) with a=v1, d=v2-v1
-  [4:8]   edge opp v1: a=v2, d=v0-v2
-  [8:12]  edge opp v2: a=v0, d=v1-v0
-  [12:15] varying0/w at (v0, v1, v2)
-  [15:18] varying1/w
-  [18:21] varying2/w
-  [21:24] 1/w at (v0, v1, v2)
-  [24]    valid flag (1.0 front-facing & in-front & covers >= 1 pixel center)
-  [25:32] reserved
+  [0:4]   edge opp v0: (a.x, a.y, s0*dy, s0*dx) with a=v1, d=v2-v1
+  [4:8]   edge opp v1: a=v2, d=v0-v2 (scaled by s1)
+  [8:12]  edge opp v2: a=v0, d=v1-v0 (scaled by s2)
+  [12:15] varying0/w at (v0, v1, v2), each scaled by s_i*tau
+  [15:18] varying1/w   (scaled s_i*tau)
+  [18:21] varying2/w   (scaled s_i*tau)
+  [21:24] 1/w at (v0, v1, v2) (SIGNED, scaled s_i*tau)
+  [24]    valid flag (1.0 front-facing & clip-volume-nonempty & covers
+          >= 1 pixel center)
+  [25:28] z_ndc at (v0, v1, v2) (scaled s_i*tau) -- near-clip functional:
+          az = F0*c25 + F1*c26 + F2*c27 interpolates (pos scale)*z/w
+  [28:31] s_i*tau (the constant-1 attribute): S = F0*c28 + F1*c29 + F2*c30
+          interpolates (same pos scale)*1, so FAR (z <= w) is S - az >= 0
+  [31:40] reserved (strips.py stamps per-block walk metadata at 35/36 in its
+          own stream copy; segments.py writes painter ids at 32..34 in its
+          compacted stream copy)
 
 Edges are evaluated relative to their own vertex (F = dy*(px-ax) - dx*(py-ay))
 so products stay small for small triangles -- the f32 analog of the hardware's
 fixed-point watertight rasterization.
+
+Near-plane clipping, the TPU-native way (no geometry amplification):
+the reference GPU clips primitives against the clip volume (z >= 0, z <= w
+in WebGPU clip space) in fixed function before rasterization
+(src/terrain/pipeline.rs:107-140 -- wgpu default, no unclipped_depth).
+Emitting clipped sub-triangles is hostile to static shapes, so instead we
+rasterize the clipped region DIRECTLY with the original triangle's records:
+
+  - The screen-space edge lines of a triangle with mixed-sign w are still
+    the correct projective lines; only their orientation flips, by exactly
+    sign(w_j * w_k) for the edge joining vertices j,k. We bake that sign
+    s_i into the edge (dy, dx) columns, so kernels keep testing F >= 0.
+    f32 negation commutes bitwise through *,-, so clean triangles
+    (all w > 0, s_i = 1) produce byte-identical records and coverage.
+  - Perspective-correct interpolation functionals (attr/w and 1/w as
+    screen-affine functions) remain EXACT on the visible region when built
+    from the projected vertices with SIGNED 1/w -- projective algebra does
+    not care that a vertex projected through negative w. The interpolation
+    columns absorb s_i (and a whole-triangle sign tau = -sign(area2), which
+    restores the orientation of the barycentric sum when an odd number of
+    w's are negative), keeping a0/aw ratios bit-identical for clean tris.
+  - The clip volume itself becomes two extra screen-linear tests evaluated
+    from existing machinery: az = F0*znw0 + F1*znw1 + F2*znw2 interpolates
+    z_ndc * (positive scale), so NEAR is az >= 0, FAR is aw - az >= 0, and
+    w > 0 (front of camera) is aw > 0. For clean triangles each sum has
+    all-nonnegative terms at covered pixels, so the tests can never flip a
+    previously-covered pixel: parity configs are byte-identical.
+
+Kernels therefore add ~7 ops per visit total; there is no second geometry
+pass, no dynamic triangle count, and the painter id space is unchanged.
 """
 from __future__ import annotations
 
@@ -43,7 +80,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-REC_WIDTH = 32
+REC_WIDTH = 40
 
 # Default tile shape: one VPU-native (8, 128) f32 vector register of pixels.
 TILE_H = 8
@@ -67,10 +104,15 @@ def clip_to_fb(clip: jnp.ndarray, width: int, height: int):
     return x_fb, y_fb, ndc_z, w
 
 
-def triangle_setup(x_fb, y_fb, w_clip, varyings, indices, width: int, height: int):
-    """Build (T+1, REC_WIDTH) triangle records.
+_W_EPS = 1e-8   # "in front of camera" threshold on clip w (hardware: w > 0)
 
-    x_fb, y_fb, w_clip: (N,) per-vertex framebuffer coords / clip w.
+
+def triangle_setup(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
+                   width: int, height: int):
+    """Build (T+1, REC_WIDTH) triangle records (near/far clipping baked in).
+
+    x_fb, y_fb, z_ndc, w_clip: (N,) per-vertex framebuffer coords, NDC z
+    (z/w as produced by clip_to_fb) and clip w.
     varyings: (N, 3) per-vertex attributes (perspective-interpolated).
     indices: (T, 3) int32 vertex indices (triangle list order == draw order).
     """
@@ -81,34 +123,90 @@ def triangle_setup(x_fb, y_fb, w_clip, varyings, indices, width: int, height: in
     # eighteen independent 1-D element gathers (~30x slower on TPU).
     vmat = jnp.stack([x_fb, y_fb, w_clip,
                       varyings[:, 0], varyings[:, 1], varyings[:, 2],
-                      jnp.zeros_like(x_fb), jnp.zeros_like(x_fb)], axis=-1)
+                      z_ndc, jnp.zeros_like(x_fb)], axis=-1)
     c0 = vmat[v0]  # (T, 8)
     c1 = vmat[v1]
     c2 = vmat[v2]
-    x0, y0, w0 = c0[:, 0], c0[:, 1], c0[:, 2]
-    x1, y1, w1 = c1[:, 0], c1[:, 1], c1[:, 2]
-    x2, y2, w2 = c2[:, 0], c2[:, 1], c2[:, 2]
+    x0, y0, w0, zn0 = c0[:, 0], c0[:, 1], c0[:, 2], c0[:, 6]
+    x1, y1, w1, zn1 = c1[:, 0], c1[:, 1], c1[:, 2], c1[:, 6]
+    x2, y2, w2, zn2 = c2[:, 0], c2[:, 1], c2[:, 2], c2[:, 6]
 
     # Signed double area, math shoelace in framebuffer (y-down) coords.
     area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-    # Front faces (CCW in wgpu terms) have area2 < 0 here; cull back faces
-    # and degenerates (cull_mode=Back, src/terrain/pipeline.rs:128).
-    front = area2 < 0.0
-    # Near-plane guard: all vertices strictly in front of the camera. (The
-    # GPU would clip; parity configs keep geometry inside the frustum.)
-    in_front = (w0 > 1e-8) & (w1 > 1e-8) & (w2 > 1e-8)
+    # Front faces (CCW in wgpu terms) have area2 < 0 here when all w > 0;
+    # with an odd number of negative w's the projected orientation flips
+    # relative to the clip-space (post-clipping) orientation the GPU culls
+    # by, so the test flips with it (cull_mode=Back,
+    # src/terrain/pipeline.rs:128).
+    neg0, neg1_, neg2 = w0 < 0.0, w1 < 0.0, w2 < 0.0
+    odd_neg = neg0 ^ neg1_ ^ neg2
+    front = jnp.where(odd_neg, area2 > 0.0, area2 < 0.0)
     finite = (jnp.isfinite(x0) & jnp.isfinite(x1) & jnp.isfinite(x2)
               & jnp.isfinite(y0) & jnp.isfinite(y1) & jnp.isfinite(y2))
 
-    # Pixel-center bbox: centers are at integer+0.5.
-    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
-    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
-    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
-    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
-    px0 = jnp.ceil(xmin - 0.5).astype(jnp.int32)
-    px1 = jnp.floor(xmax - 0.5).astype(jnp.int32)
-    py0 = jnp.ceil(ymin - 0.5).astype(jnp.int32)
-    py1 = jnp.floor(ymax - 0.5).astype(jnp.int32)
+    # Clip-volume-nonempty tests (z and w are linear on the triangle in
+    # clip space, so vertex extrema are exact):
+    zc0, zc1, zc2 = zn0 * w0, zn1 * w1, zn2 * w2      # clip z
+    any_near = jnp.maximum(jnp.maximum(zc0, zc1), zc2) >= 0.0
+    any_w = jnp.maximum(jnp.maximum(w0, w1), w2) > _W_EPS
+    any_far = jnp.minimum(jnp.minimum(zc0 - w0, zc1 - w1), zc2 - w2) <= 0.0
+
+    clean = (w0 > _W_EPS) & (w1 > _W_EPS) & (w2 > _W_EPS)
+
+    # ---- pixel-center bbox (centers at integer+0.5) ----
+    # Candidates: vertices on the visible side of the near plane, plus the
+    # near-plane crossing points of each edge (exact convex hull of the
+    # near-clipped triangle when all w > 0). Triangles crossing w ~ 0 get a
+    # conservative full-screen bbox (rare: camera plane slicing geometry).
+    big = jnp.float32(3.4e37)
+
+    def crossing(xa, ya, wa, za, xb, yb, wb, zb):
+        """Near-plane (z_clip = 0) crossing of edge a->b in homogeneous
+        framebuffer coords; returns (x_fb, y_fb, valid)."""
+        denom = za - zb
+        safe = jnp.where(jnp.abs(denom) < 1e-30,
+                         jnp.float32(1e-30), denom)
+        t = za / safe
+        crosses = (za < 0.0) != (zb < 0.0)
+        wx = wa + t * (wb - wa)
+        Xa, Ya = xa * wa, ya * wa
+        Xb, Yb = xb * wb, yb * wb
+        X = Xa + t * (Xb - Xa)
+        Y = Ya + t * (Yb - Ya)
+        ok = crosses & (wx > _W_EPS)
+        rw = 1.0 / jnp.where(jnp.abs(wx) < 1e-30, jnp.float32(1e-30), wx)
+        return X * rw, Y * rw, ok
+
+    cx01, cy01, ok01 = crossing(x0, y0, w0, zc0, x1, y1, w1, zc1)
+    cx12, cy12, ok12 = crossing(x1, y1, w1, zc1, x2, y2, w2, zc2)
+    cx20, cy20, ok20 = crossing(x2, y2, w2, zc2, x0, y0, w0, zc0)
+    vok0 = zc0 >= 0.0
+    vok1 = zc1 >= 0.0
+    vok2 = zc2 >= 0.0
+
+    def mm(sel, vals, init, op):
+        out = init
+        for s, v in zip(sel, vals):
+            out = op(out, jnp.where(s, v, init))
+        return out
+
+    sels = [vok0, vok1, vok2, ok01, ok12, ok20]
+    xs = [x0, x1, x2, cx01, cx12, cx20]
+    ys = [y0, y1, y2, cy01, cy12, cy20]
+    xmin = mm(sels, xs, big, jnp.minimum)
+    xmax = mm(sels, xs, -big, jnp.maximum)
+    ymin = mm(sels, ys, big, jnp.minimum)
+    ymax = mm(sels, ys, -big, jnp.maximum)
+    # w-crossing triangles: conservative full screen.
+    xmin = jnp.where(clean, xmin, 0.0)
+    xmax = jnp.where(clean, xmax, jnp.float32(width))
+    ymin = jnp.where(clean, ymin, 0.0)
+    ymax = jnp.where(clean, ymax, jnp.float32(height))
+
+    px0 = jnp.ceil(jnp.clip(xmin, -1e9, 1e9) - 0.5).astype(jnp.int32)
+    px1 = jnp.floor(jnp.clip(xmax, -1e9, 1e9) - 0.5).astype(jnp.int32)
+    py0 = jnp.ceil(jnp.clip(ymin, -1e9, 1e9) - 0.5).astype(jnp.int32)
+    py1 = jnp.floor(jnp.clip(ymax, -1e9, 1e9) - 0.5).astype(jnp.int32)
     px0 = jnp.maximum(px0, 0)
     py0 = jnp.maximum(py0, 0)
     px1 = jnp.minimum(px1, width - 1)
@@ -116,21 +214,42 @@ def triangle_setup(x_fb, y_fb, w_clip, varyings, indices, width: int, height: in
     # Covers at least one pixel center inside the framebuffer.
     covers = (px0 <= px1) & (py0 <= py1)
 
-    valid = front & in_front & finite & covers
+    valid = front & finite & any_near & any_w & any_far & covers
 
     T = indices.shape[0]
-    rw0 = jnp.where(w0 > 1e-8, 1.0 / w0, 0.0)
-    rw1 = jnp.where(w1 > 1e-8, 1.0 / w1, 0.0)
-    rw2 = jnp.where(w2 > 1e-8, 1.0 / w2, 0.0)
+    # SIGNED reciprocals: negative-w vertices keep their sign so the
+    # projective interpolation functionals stay exact on the clipped region.
+    def srw(w):
+        safe = jnp.where(jnp.abs(w) < 1e-12,
+                         jnp.where(w < 0.0, jnp.float32(-1e-12),
+                                   jnp.float32(1e-12)), w)
+        return 1.0 / safe
+
+    rw0, rw1, rw2 = srw(w0), srw(w1), srw(w2)
+
+    # Per-edge orientation fix s_i = sign(w_j * w_k) for the edge OPPOSITE
+    # vertex i, and whole-triangle tau = -sign(area2) restoring the
+    # barycentric-sum orientation. All are +-1: multiplications are exact
+    # bitwise sign flips, so clean triangles are byte-identical to the
+    # unclipped record format.
+    one = jnp.ones_like(x0)
+    s0 = jnp.where(neg1_ ^ neg2, -one, one)
+    s1 = jnp.where(neg2 ^ neg0, -one, one)
+    s2 = jnp.where(neg0 ^ neg1_, -one, one)
+    tau = jnp.where(area2 > 0.0, -one, one)
+    t0, t1, t2 = s0 * tau, s1 * tau, s2 * tau
 
     cols = [
-        x1, y1, y2 - y1, x2 - x1,          # edge opp v0
-        x2, y2, y0 - y2, x0 - x2,          # edge opp v1
-        x0, y0, y1 - y0, x1 - x0,          # edge opp v2
+        x1, y1, (y2 - y1) * s0, (x2 - x1) * s0,    # edge opp v0
+        x2, y2, (y0 - y2) * s1, (x0 - x2) * s1,    # edge opp v1
+        x0, y0, (y1 - y0) * s2, (x1 - x0) * s2,    # edge opp v2
     ]
     for k in range(3):
-        cols += [c0[:, 3 + k] * rw0, c1[:, 3 + k] * rw1, c2[:, 3 + k] * rw2]
-    cols += [rw0, rw1, rw2, valid.astype(jnp.float32)]
+        cols += [c0[:, 3 + k] * rw0 * t0, c1[:, 3 + k] * rw1 * t1,
+                 c2[:, 3 + k] * rw2 * t2]
+    cols += [rw0 * t0, rw1 * t1, rw2 * t2, valid.astype(jnp.float32)]
+    cols += [zn0 * t0, zn1 * t1, zn2 * t2]         # near-clip functional
+    cols += [t0, t1, t2]                           # constant-1 (far clip)
     zero_col = jnp.zeros_like(x0)
     cols += [zero_col] * (REC_WIDTH - len(cols))
     rec = jnp.stack(cols, axis=-1)  # (T, REC_WIDTH), one fused assembly

@@ -40,8 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .setup import REC_WIDTH, TILE_H, TILE_W
 
-TY0_COL = 28     # block tile-row start (lane-0 row of each block)
-NTRIP_COL = 29   # block tile-row trip count (lane-0 row of each block)
+TY0_COL = 35     # block tile-row start (lane-0 row of each block)
+NTRIP_COL = 36   # block tile-row trip count (lane-0 row of each block)
 _RING = 2        # DMA ring depth (slabs in flight)
 _SLAB = 8        # 8-triangle blocks per DMA slab (64 rows = 32 KB)
 
@@ -242,12 +242,16 @@ def _strip_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                 f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
                 f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
                 f2 = col(10) * (px - col(8)) - col(11) * (py - col(9))
-                cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
-                       & (col(24) > 0.0))
                 a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
                 a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
                 a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
                 aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+                # Clip-volume tests (setup.py "Near-plane clipping").
+                az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+                asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+                cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                       & (col(24) > 0.0)
+                       & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
 
                 sl = pl.ds(ty * 8, 8)
                 if exact_ids:

@@ -35,11 +35,16 @@ def _raster_tile(tile_recs: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
         f0 = r[2] * (px - r[0]) - r[3] * (py - r[1])
         f1 = r[6] * (px - r[4]) - r[7] * (py - r[5])
         f2 = r[10] * (px - r[8]) - r[11] * (py - r[9])
-        cov = (f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0) & (r[24] > 0.0)
         a0 = f0 * r[12] + f1 * r[13] + f2 * r[14]
         a1 = f0 * r[15] + f1 * r[16] + f2 * r[17]
         a2 = f0 * r[18] + f1 * r[19] + f2 * r[20]
         aw = f0 * r[21] + f1 * r[22] + f2 * r[23]
+        # Clip-volume tests (near z>=0, camera-front w>0, far z<=w) as
+        # screen-linear functionals -- see setup.py "Near-plane clipping".
+        az = f0 * r[25] + f1 * r[26] + f2 * r[27]
+        asum = f0 * r[28] + f1 * r[29] + f2 * r[30]
+        cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0) & (r[24] > 0.0)
+               & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
         return (jnp.where(cov, a0, acc0), jnp.where(cov, a1, acc1),
                 jnp.where(cov, a2, acc2), jnp.where(cov, aw, accw),
                 covered | cov)
