@@ -80,9 +80,39 @@ def main() -> int:
         v, p = orbit_cameras(BATCH, phase=0.31 * rep)
         cam_sets.append((jnp.asarray(v), jnp.asarray(p)))
 
-    if use_pallas and T > P.SEGMENT_THRESHOLD and P._strips_fit(HEIGHT):
-        # Dense mesh: batched strip-walk path, ONE dispatch per batch,
-        # zero host roundtrips between frames.
+    run = None
+    if (use_pallas and T > P.SEGMENT_THRESHOLD
+            and os.environ.get("VF_DENSE", "visits") == "visits"
+            and P._deposit_fit(T, HEIGHT)):
+        # Dense mesh, first choice: visit-list strip kernel (deposit.py),
+        # ONE dispatch per batch. Ratchet the visit capacity from frame 0;
+        # an overflow during the run aborts to the strip-walk path
+        # (correctness: a truncated visit list would drop geometry).
+        v0_, p0_ = cam_sets[0]
+        rec0, bbox0 = P._terrain_records(
+            xyuv, indices, heights, v0_[0], p0_[0], args["spacing"],
+            args["exaggeration"], WIDTH, HEIGHT)
+        cap = P._visits_params(bbox0, WIDTH, HEIGHT)
+
+        def run(views, projs):
+            imgs, ovf = P._terrain_render_batch_visits(
+                xyuv, indices, heights, views, projs, lut,
+                args["h_min"], args["h_max"], args["exposure"],
+                args["sun_dir"], args["spacing"], args["exaggeration"],
+                WIDTH, HEIGHT, cap)
+            sample, o = jax.device_get((imgs[:, ::53, ::67], ovf))
+            if bool(o):
+                raise OverflowError("visit list overflow")
+            return sample
+
+        try:
+            run(*cam_sets[-1])  # compile + validate
+        except OverflowError:
+            run = None
+
+    if run is None and use_pallas and T > P.SEGMENT_THRESHOLD \
+            and P._strips_fit(HEIGHT):
+        # Dense-mesh fallback: batched strip-walk path.
         row_size = 2 * (GRID - 1)
 
         def run(views, projs):
@@ -94,7 +124,7 @@ def main() -> int:
             # device_get, NOT block_until_ready: the latter can return
             # before execution for pallas-dominated outputs here (CLAUDE.md)
             return jax.device_get(out[:, ::53, ::67])
-    else:
+    elif run is None:
         # Moderate meshes: per-frame dispatch with one shared executable
         # (measured faster than the vmapped batch: vmapped scatter binning
         # lowers poorly); capacities sized once over all camera sets.

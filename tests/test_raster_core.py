@@ -277,3 +277,161 @@ def test_lut_bilinear_vs_cpu_reference():
     i1 = np.clip(x0 + 1, 0, 255).astype(int)
     ref = lut[i0] * (1 - frac) + lut[i1] * frac
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_deposit_backend_identical(monkeypatch):
+    """Candidate-deposit kernel (deposit.py) byte-equals the jnp oracle on
+    a genuinely subpixel mesh, including the MXU one-hot transport of
+    varyings (single-contributor exactness) and the bitmask winner."""
+    import jax
+    import jax.numpy as jnp
+    from vulkan_forge import _mesh
+    from vulkan_forge._camera import look_at_rh, perspective_wgpu
+    from vulkan_forge._raster import deposit as dep
+    from vulkan_forge._raster import tiles
+    from vulkan_forge._raster.setup import (bin_triangles, tile_counts,
+                                            tile_span_max)
+
+    W, H, grid = 320, 240, 320
+    xyuv, idx = _mesh.build_grid_xyuv(grid)
+    indices = jnp.asarray(idx.astype(np.int32).reshape(-1, 3))
+    heights = jnp.zeros((1, 1), np.float32)
+    view = jnp.asarray(look_at_rh((2.6, 1.9, 2.2), (0, 0, 0), (0, 1, 0)))
+    proj = jnp.asarray(perspective_wgpu(
+        np.float32(np.radians(45)), np.float32(W / H),
+        np.float32(0.1), np.float32(100)))
+    records, bbox = pipeline._terrain_records(
+        jnp.asarray(xyuv), indices, heights, view, proj,
+        jnp.float32(1.0), jnp.float32(1.0), W, H)
+
+    cmax, span = jax.device_get(pipeline._deposit_stats(bbox, W, H))
+    assert int(span) <= 8, "scene must be subpixel for this test"
+    cap = pipeline._round_capacity(int(cmax))
+    slots = 4 if int(span) <= 4 else 8
+    (v0, v1, v2, m), ovf = dep.render_gbuffer_deposit(
+        records, bbox, W, H, cap, slots)
+    assert not bool(jax.device_get(ovf))
+
+    c2 = int(jax.device_get(tile_counts(bbox, W, H).max()))
+    sx, sy = jax.device_get(tile_span_max(bbox, W, H))
+    binning = bin_triangles(bbox, W, H, max(pipeline._round_capacity(c2), 8),
+                            span_x=pipeline._round_span(int(sx)),
+                            span_y=pipeline._round_span(int(sy)))
+    o0, o1, o2, om = tiles.render_gbuffer(records, binning.tile_lists, W, H)
+
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(om))
+    both = np.asarray(m)
+    for a, b in ((v0, o0), (v1, o1), (v2, o2)):
+        a_, b_ = np.asarray(a), np.asarray(b)
+        np.testing.assert_array_equal(
+            np.where(both, a_, 0), np.where(both, b_, 0))
+    assert both.sum() > 5000
+
+
+def test_deposit_params_rejects_wide_triangles():
+    """Scenes whose triangles exceed 8 px bbox width are not deposit
+    scenes: the ratchet prepass must route them to the strip walk."""
+    import jax.numpy as jnp
+    # one huge triangle
+    bbox = jnp.asarray(np.array([[0, 500, 0, 300]], np.int32))
+    pipeline._DEPOSIT_RATCHET.clear()
+    assert pipeline._deposit_params(bbox, 800, 600) is None
+
+
+def test_segment_dma_alignment_adversarial():
+    """Adversarial cover for the segment kernel's DMA-start down-alignment
+    (segments.py seg_params): a PERMUTED stream whose per-row intervals
+    start at every alignment offset 0..7, with the stream's maximum
+    original ids sitting exactly at block boundaries, must still paint
+    byte-identically to the jnp oracle (re-read leading triangles are
+    rejected by coverage or idempotent under the max-id merge)."""
+    import jax
+    import jax.numpy as jnp
+    from vulkan_forge._raster import segments as seg
+    from vulkan_forge._raster import tiles
+    from vulkan_forge._raster.setup import (bin_triangles, clip_to_fb,
+                                            tile_counts, tile_span_max,
+                                            triangle_setup)
+
+    W, H = 256, 96
+    rng = np.random.default_rng(11)
+    n = 257                                   # odd: every alignment hit
+    centers = rng.uniform([-0.9, -0.9], [0.9, 0.9], (n, 2))
+    offs = rng.standard_normal((n, 3, 2)) * 0.15
+    v = (centers[:, None, :] + offs).reshape(-1, 2)
+    clip = np.concatenate([v, np.full((n * 3, 1), 0.4),
+                           np.ones((n * 3, 1))], axis=1).astype(np.float32)
+    attrs = np.stack([np.repeat(np.arange(n, dtype=np.float32), 3),
+                      rng.uniform(-2, 2, n * 3).astype(np.float32),
+                      rng.uniform(-2, 2, n * 3).astype(np.float32)], axis=1)
+    indices = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
+
+    x, y, z, w = clip_to_fb(jnp.asarray(clip), W, H)
+    records, bbox = triangle_setup(x, y, z, w, jnp.asarray(attrs),
+                                   jnp.asarray(indices), W, H)
+
+    # permute the stream so ids are shuffled across DMA blocks (duplicate
+    # max-id-at-block-edge shapes arise naturally from the shuffle)
+    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    pbbox = bbox[perm]
+    cap = int(jax.device_get(jnp.sum(
+        (pbbox[:, 1] >= pbbox[:, 0]).astype(np.int32))))
+    cap = max(8, -(-cap // 8) * 8)
+    crecords, _ = seg.compact_valid(records, pbbox, cap, ids=perm)
+    sb = seg.segment_bin(pbbox, W, H, row_size=24)   # odd intervals
+    v0s, v1s, v2s, ms = seg.render_gbuffer_segments(crecords, sb, W, H)
+
+    c2 = int(jax.device_get(tile_counts(bbox, W, H).max()))
+    sx, sy = jax.device_get(tile_span_max(bbox, W, H))
+    binning = bin_triangles(bbox, W, H, max(-(-c2 // 8) * 8, 8),
+                            span_x=pipeline._round_span(int(sx)),
+                            span_y=pipeline._round_span(int(sy)))
+    o0, o1, o2, om = tiles.render_gbuffer(records, binning.tile_lists, W, H)
+
+    np.testing.assert_array_equal(np.asarray(ms), np.asarray(om))
+    both = np.asarray(om)
+    for a, b in ((v0s, o0), (v1s, o1), (v2s, o2)):
+        np.testing.assert_array_equal(
+            np.where(both, np.asarray(a), 0), np.where(both, np.asarray(b), 0))
+
+
+def test_visits_backend_identical():
+    """Visit-list strip kernel (deposit.render_gbuffer_visits) byte-equals
+    the jnp oracle on a subpixel mesh."""
+    import jax
+    import jax.numpy as jnp
+    from vulkan_forge import _mesh
+    from vulkan_forge._camera import look_at_rh, perspective_wgpu
+    from vulkan_forge._raster import deposit as dep
+    from vulkan_forge._raster import tiles
+    from vulkan_forge._raster.setup import (bin_triangles, tile_counts,
+                                            tile_span_max)
+
+    W, H, grid = 320, 240, 320
+    xyuv, idx = _mesh.build_grid_xyuv(grid)
+    indices = jnp.asarray(idx.astype(np.int32).reshape(-1, 3))
+    heights = jnp.zeros((1, 1), np.float32)
+    view = jnp.asarray(look_at_rh((2.6, 1.9, 2.2), (0, 0, 0), (0, 1, 0)))
+    proj = jnp.asarray(perspective_wgpu(
+        np.float32(np.radians(45)), np.float32(W / H),
+        np.float32(0.1), np.float32(100)))
+    records, bbox = pipeline._terrain_records(
+        jnp.asarray(xyuv), indices, heights, view, proj,
+        jnp.float32(1.0), jnp.float32(1.0), W, H)
+
+    cap = pipeline._visits_params(bbox, W, H)
+    (v0, v1, v2, m), ovf = dep.render_gbuffer_visits(records, bbox, W, H, cap)
+    assert not bool(jax.device_get(ovf))
+
+    c2 = int(jax.device_get(tile_counts(bbox, W, H).max()))
+    sx, sy = jax.device_get(tile_span_max(bbox, W, H))
+    binning = bin_triangles(bbox, W, H, max(pipeline._round_capacity(c2), 8),
+                            span_x=pipeline._round_span(int(sx)),
+                            span_y=pipeline._round_span(int(sy)))
+    o0, o1, o2, om = tiles.render_gbuffer(records, binning.tile_lists, W, H)
+
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(om))
+    both = np.asarray(m)
+    for a, b in ((v0, o0), (v1, o1), (v2, o2)):
+        np.testing.assert_array_equal(
+            np.where(both, np.asarray(a), 0), np.where(both, np.asarray(b), 0))

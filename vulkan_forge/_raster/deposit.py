@@ -76,7 +76,8 @@ class DepositTables(NamedTuple):
 
 def build_visit_tables(bbox, width: int, height: int, cap: int,
                        slots: int = 4,
-                       tile_h: int = TILE_H, tile_w: int = TILE_W):
+                       tile_h: int = TILE_H, tile_w: int = TILE_W,
+                       slab_t: int = SLAB_T, group_t: int = GROUP_T):
     """Per-column compacted lists of active (slab, tile-row) visits.
 
     Activity is resolved at GROUP_T-triangle granularity (tight y for the
@@ -92,9 +93,9 @@ def build_visit_tables(bbox, width: int, height: int, cap: int,
     T = bbox.shape[0]
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
-    nslab = -(-T // SLAB_T)
-    ngroup = nslab * (SLAB_T // GROUP_T)
-    pad = ngroup * GROUP_T - T
+    nslab = -(-T // slab_t)
+    ngroup = nslab * (slab_t // group_t)
+    pad = ngroup * group_t - T
 
     tx0 = bbox[:, 0] // tile_w
     tx1 = bbox[:, 1] // tile_w
@@ -104,7 +105,7 @@ def build_visit_tables(bbox, width: int, height: int, cap: int,
 
     def rp(a, fill):
         a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
-        return a.reshape(ngroup, GROUP_T)
+        return a.reshape(ngroup, group_t)
 
     big = jnp.int32(1 << 20)
     g_tx0 = rp(jnp.where(valid, tx0, big), big)
@@ -113,7 +114,7 @@ def build_visit_tables(bbox, width: int, height: int, cap: int,
     g_ty1 = rp(jnp.where(valid, ty1, -big), -big)
 
     tys = jnp.arange(nty, dtype=jnp.int32)
-    gsl = SLAB_T // GROUP_T
+    gsl = slab_t // group_t
 
     entries_c = []
     counts_c = []
@@ -159,15 +160,16 @@ def build_rec_t(records, bbox):
 
 
 def visit_counts(bbox, width: int, height: int,
-                 tile_h: int = TILE_H, tile_w: int = TILE_W) -> jnp.ndarray:
+                 tile_h: int = TILE_H, tile_w: int = TILE_W,
+                 slab_t: int = SLAB_T, group_t: int = GROUP_T) -> jnp.ndarray:
     """Exact per-column active-visit counts (host ratchet prepass; no
     entry materialization)."""
     T = bbox.shape[0]
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
-    nslab = -(-T // SLAB_T)
-    ngroup = nslab * (SLAB_T // GROUP_T)
-    pad = ngroup * GROUP_T - T
+    nslab = -(-T // slab_t)
+    ngroup = nslab * (slab_t // group_t)
+    pad = ngroup * group_t - T
 
     tx0 = bbox[:, 0] // tile_w
     tx1 = bbox[:, 1] // tile_w
@@ -177,7 +179,7 @@ def visit_counts(bbox, width: int, height: int,
 
     def rp(a, fill):
         a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
-        return a.reshape(ngroup, GROUP_T)
+        return a.reshape(ngroup, group_t)
 
     big = jnp.int32(1 << 20)
     g_tx0 = rp(jnp.where(valid, tx0, big), big)
@@ -185,7 +187,7 @@ def visit_counts(bbox, width: int, height: int,
     g_ty0 = rp(jnp.where(valid, ty0, big), big)
     g_ty1 = rp(jnp.where(valid, ty1, -big), -big)
     tys = jnp.arange(nty, dtype=jnp.int32)
-    gsl = SLAB_T // GROUP_T
+    gsl = slab_t // group_t
 
     counts = []
     for c in range(ntx):
@@ -254,9 +256,13 @@ def _deposit_kernel(counts_ref,                     # scalar prefetch (B*NTX,)
             preferred_element_type=jnp.float32)
 
     def body(e, carry):
-        slot = jax.lax.rem(e, 2)
+        slot = jax.lax.rem(e, 3)
         dma(e, slot).wait()
-        dma(e + 2, slot).start()
+        # Refill slot (e+2)%3 immediately: with a 3-deep ring it is
+        # neither the slot being read (e%3) nor the one in flight
+        # ((e+1)%3), so the prefetch is race-free by construction even if
+        # alias analysis cannot order dynamic-slot accesses.
+        dma(e + 2, jax.lax.rem(e + 2, 3)).start()
         ent = entries_ref[0, 0, e, 0]
         slab = jax.lax.div(ent, _NTY_PAD)
         ty = ent - slab * _NTY_PAD
@@ -337,8 +343,8 @@ def _deposit_kernel(counts_ref,                     # scalar prefetch (B*NTX,)
     # exactly two copies (entries n and n+1, clamped) are still in flight.
     @pl.when(n > 0)
     def _():
-        dma(n, jax.lax.rem(n, 2)).wait()
-        dma(n + 1, jax.lax.rem(n + 1, 2)).wait()
+        dma(n, jax.lax.rem(n, 3)).wait()
+        dma(n + 1, jax.lax.rem(n + 1, 3)).wait()
 
     covered = aid_ref[...] >= 0.0
     aw = aw_ref[...]
@@ -384,27 +390,23 @@ def render_gbuffer_deposit_batch(records_b, bbox_b, width: int, height: int,
         slots=slots, tile_h=tile_h, tile_w=tile_w))(bbox_b)
     entries_b, counts_b, overflow_b = tabs
     rec_t_b = jax.vmap(build_rec_t)(records_b, bbox_b)   # (B, NS*REC, 128)
-    rec_t = rec_t_b.reshape(B * nslab * REC_WIDTH, SLAB_T)
 
     kernel = functools.partial(
         _deposit_kernel, ntx=ntx, nty=nty,
         frame_slabs=nslab, slots=slots)
 
-    out_shape = jax.ShapeDtypeStruct((B * h8, ntx * 128), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((h8, ntx * 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * ntx,),
+        grid=(ntx,),
         in_specs=[
             pl.BlockSpec((1, 1, cap, 1),
-                         lambda p, *pref: (jax.lax.div(p, ntx),
-                                           jax.lax.rem(p, ntx), 0, 0),
+                         lambda p, *pref: (0, p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),    # rec_t
         ],
         out_specs=tuple(
-            pl.BlockSpec((h8, 128),
-                         lambda p, *pref: (jax.lax.div(p, ntx),
-                                           jax.lax.rem(p, ntx)),
+            pl.BlockSpec((h8, 128), lambda p, *pref: (0, p),
                          memory_space=pltpu.VMEM) for _ in range(4)),
         scratch_shapes=[
             pltpu.VMEM((h8, 128), jnp.float32),   # aid
@@ -412,19 +414,230 @@ def render_gbuffer_deposit_batch(records_b, bbox_b, width: int, height: int,
             pltpu.VMEM((h8, 128), jnp.float32),   # a1
             pltpu.VMEM((h8, 128), jnp.float32),   # a2
             pltpu.VMEM((h8, 128), jnp.float32),   # aw
-            pltpu.VMEM((2, REC_WIDTH, SLAB_T), jnp.float32),
+            pltpu.VMEM((3, REC_WIDTH, SLAB_T), jnp.float32),
             pltpu.VMEM((48, 128), jnp.float32),   # lhs staging
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
 
-    v0, v1, v2, mask = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape, out_shape, out_shape),
-    )(counts_b.reshape(-1), entries_b[..., None], rec_t)
+    )
+
+    # One pallas_call per frame INSIDE one jit: XLA pins a call's outputs
+    # in scoped VMEM, so a fused B-frame grid OOMs at B >= 3 (4 full
+    # framebuffer planes x B); per-frame calls sequence in one dispatch
+    # with the same amortization and bound VMEM.
+    outs = []
+    for i in range(B):
+        outs.append(call(counts_b[i].reshape(-1),
+                         entries_b[i][None, ..., None], rec_t_b[i]))
+    v0 = jnp.stack([o[0] for o in outs])
+    v1 = jnp.stack([o[1] for o in outs])
+    v2 = jnp.stack([o[2] for o in outs])
+    mask = jnp.stack([o[3] for o in outs])
 
     def crop(a):
-        return a.reshape(B, h8, ntx * 128)[:, :height, :width]
+        return a[:, :height, :width]
 
     return (crop(v0), crop(v1), crop(v2), crop(mask) > 0.5), jnp.any(overflow_b)
+
+
+# ---------------------------------------------------------------------------
+# Visit-list strip kernel: the deposit SCHEDULER driving the strips ARITHMETIC.
+#
+# The measured trip economics flip below slab scale: a strips-style 8-triangle
+# visit costs ~0.5 us (no matmuls) while a 128-triangle deposit trip costs
+# ~1.1-2.4 us, and BLOCK-granular activity is tighter in y (~1.3 tile rows vs
+# ~2-5 for slabs). For grid~1024 meshes the flat list of active
+# (8-tri block, tile-row) visits is ~60K/frame, so this kernel projects to
+# ~30-40 ms/frame vs the interval-walking strip kernel's 227-270 ms -- the
+# win comes from never visiting invalid blocks, empty tile rows, or paying
+# nested-loop overheads. Byte-identical to the jnp oracle (same records,
+# same formulas, same max-id painter merge).
+# ---------------------------------------------------------------------------
+
+BLOCK_T = 8      # triangles per visit (strips arithmetic, sublane-native)
+
+
+def _visits_kernel(counts_ref,                      # scalar prefetch (B*NTX,)
+                   entries_ref,                     # VMEM (1, 1, CAP, 1)
+                   recs_hbm,                        # HBM (T8, REC_WIDTH)
+                   v0_ref, v1_ref, v2_ref, mask_ref,
+                   aid_ref, a0_ref, a1_ref, a2_ref, aw_ref,
+                   scratch, sem,                    # (3, 8, REC_WIDTH)
+                   *, ntx, nty, frame_rows):
+    prog = pl.program_id(0)
+    tx = jax.lax.rem(prog, ntx)
+    frame = jax.lax.div(prog, ntx)
+    h8 = v0_ref.shape[0]
+
+    neg1 = jnp.full((h8, 128), -1.0, jnp.float32)
+    zero = jnp.zeros((h8, 128), jnp.float32)
+    aid_ref[...] = neg1
+    a0_ref[...] = zero
+    a1_ref[...] = zero
+    a2_ref[...] = zero
+    aw_ref[...] = jnp.ones((h8, 128), jnp.float32)
+
+    n = counts_ref[prog]
+    frame_base = frame * frame_rows
+
+    def block_of(e):
+        ent = entries_ref[0, 0, e, 0]
+        return jax.lax.div(ent, _NTY_PAD)
+
+    def dma(e, slot):
+        blk = block_of(jnp.minimum(e, n - 1))
+        return pltpu.make_async_copy(
+            recs_hbm.at[pl.ds(frame_base + blk * BLOCK_T, BLOCK_T), :],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        dma(jnp.int32(0), 0).start()
+        dma(jnp.int32(1), 1).start()
+
+    px = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+          .astype(jnp.float32) + (tx * 128).astype(jnp.float32) + 0.5)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK_T, 1), 1)
+
+    def body(e, carry):
+        slot = jax.lax.rem(e, 3)
+        dma(e, slot).wait()
+        dma(e + 2, jax.lax.rem(e + 2, 3)).start()   # 3-deep: race-free
+        ent = entries_ref[0, 0, e, 0]
+        blk = jax.lax.div(ent, _NTY_PAD)
+        ty = ent - blk * _NTY_PAD
+        rec = scratch[slot]                          # (8, REC_WIDTH)
+
+        def col(k):
+            return rec[:, k].reshape(1, BLOCK_T, 1)
+
+        py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+              .astype(jnp.float32) + (ty * 8).astype(jnp.float32) + 0.5)
+        f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
+        f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
+        f2 = col(10) * (px - col(8)) - col(11) * (py - col(9))
+        a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
+        a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
+        a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
+        aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+        az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+        asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+        cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0) & (col(24) > 0.0)
+               & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
+
+        ids_i = blk * BLOCK_T + lane_ids             # draw-order ids
+        cids = jnp.where(cov, ids_i.astype(jnp.float32), -1.0)
+        wid = jnp.max(cids, axis=1, keepdims=True)
+        sel = ((cids == wid) & cov).astype(jnp.float32)
+        cid = wid[:, 0, :]
+        c0 = jnp.sum(a0 * sel, axis=1)
+        c1 = jnp.sum(a1 * sel, axis=1)
+        c2 = jnp.sum(a2 * sel, axis=1)
+        cw = jnp.sum(aw * sel, axis=1)
+
+        sl = pl.ds(ty * 8, 8)
+        better = cid > aid_ref[sl, :]
+        aid_ref[sl, :] = jnp.where(better, cid, aid_ref[sl, :])
+        a0_ref[sl, :] = jnp.where(better, c0, a0_ref[sl, :])
+        a1_ref[sl, :] = jnp.where(better, c1, a1_ref[sl, :])
+        a2_ref[sl, :] = jnp.where(better, c2, a2_ref[sl, :])
+        aw_ref[sl, :] = jnp.where(better, cw, aw_ref[sl, :])
+        return carry
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+    @pl.when(n > 0)
+    def _():
+        dma(n, jax.lax.rem(n, 3)).wait()
+        dma(n + 1, jax.lax.rem(n + 1, 3)).wait()
+
+    covered = aid_ref[...] >= 0.0
+    aw = aw_ref[...]
+    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+    v0_ref[...] = a0_ref[...] * rcp
+    v1_ref[...] = a1_ref[...] * rcp
+    v2_ref[...] = a2_ref[...] * rcp
+    mask_ref[...] = covered.astype(jnp.float32)
+
+
+def render_gbuffer_visits_batch(records_b, bbox_b, width: int, height: int,
+                                cap: int,
+                                tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """B frames via per-frame pallas calls in one jit (see deposit batch).
+
+    records_b: (B, T+1, REC_WIDTH); bbox_b: (B, T, 4).
+    Returns ((v0, v1, v2, mask) each (B,H,W), overflow bool).
+    """
+    B = records_b.shape[0]
+    T = bbox_b.shape[1]
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    nblock = -(-T // BLOCK_T)
+    h8 = nty * tile_h
+    assert tile_h == 8 and tile_w == 128
+    assert T < (1 << 24)
+    assert nty <= _NTY_PAD
+    assert h8 * 128 * 4 * 5 < 12 * 2**20
+
+    def one_tables(bbox):
+        return build_visit_tables(bbox, width, height, cap,
+                                  slots=1 << 20,   # no slot-width limit here
+                                  tile_h=tile_h, tile_w=tile_w,
+                                  slab_t=BLOCK_T, group_t=BLOCK_T)
+
+    entries_b, counts_b, overflow_b = jax.vmap(one_tables)(bbox_b)
+
+    # Pad the record stream to whole blocks (padding rows are the zero
+    # sentinel: valid flag 0).
+    pad = nblock * BLOCK_T - T
+    recs_pad = jnp.pad(records_b[:, :T], ((0, 0), (0, pad + BLOCK_T), (0, 0)))
+
+    kernel = functools.partial(_visits_kernel, ntx=ntx, nty=nty,
+                               frame_rows=0)
+    out_shape = jax.ShapeDtypeStruct((h8, ntx * 128), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntx,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cap, 1), lambda p, *pref: (0, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((h8, 128), lambda p, *pref: (0, p),
+                         memory_space=pltpu.VMEM) for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((h8, 128), jnp.float32) for _ in range(5)
+        ] + [
+            pltpu.VMEM((3, BLOCK_T, REC_WIDTH), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape, out_shape, out_shape))
+
+    outs = [call(counts_b[i].reshape(-1), entries_b[i][None, ..., None],
+                 recs_pad[i]) for i in range(B)]
+    v0 = jnp.stack([o[0] for o in outs])
+    v1 = jnp.stack([o[1] for o in outs])
+    v2 = jnp.stack([o[2] for o in outs])
+    mask = jnp.stack([o[3] for o in outs])
+
+    def crop(a):
+        return a[:, :height, :width]
+
+    return (crop(v0), crop(v1), crop(v2), crop(mask) > 0.5), jnp.any(overflow_b)
+
+
+def render_gbuffer_visits(records, bbox, width: int, height: int, cap: int,
+                          tile_h: int = TILE_H, tile_w: int = TILE_W):
+    out, ovf = render_gbuffer_visits_batch(
+        records[None], bbox[None], width, height, cap, tile_h, tile_w)
+    v0, v1, v2, m = out
+    return (v0[0], v1[0], v2[0], m[0]), ovf

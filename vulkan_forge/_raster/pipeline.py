@@ -252,6 +252,53 @@ def _deposit_bump(bbox, width, height):
     return cap, slots
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _visits_stats(bbox, width, height):
+    """Block-granular visit counts + span (visit-list strip kernel)."""
+    from . import deposit as dep
+    counts = dep.visit_counts(bbox, width, height,
+                              slab_t=dep.BLOCK_T, group_t=dep.BLOCK_T)
+    return counts.max()
+
+
+_VISITS_RATCHET: dict = {}
+
+
+def _visits_params(bbox, width, height, bump=False):
+    key = (int(bbox.shape[0]), width, height)
+    prev = _VISITS_RATCHET.get(key)
+    if prev is None or bump:
+        cmax = int(jax.device_get(_visits_stats(bbox, width, height)))
+        cap = _round_capacity(cmax * 2)
+        if prev is not None:
+            cap = max(cap, prev * (2 if bump else 1))
+        _VISITS_RATCHET[key] = cap
+        return cap
+    return prev
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cap",
+                                             "fs_mode"))
+def _terrain_render_visits(records, bbox, heights, lut, h_min, h_max,
+                           exposure, sun_dir, spacing, exaggeration,
+                           width, height, cap, fs_mode="shipped"):
+    """Visit-list strip kernel (deposit.render_gbuffer_visits): flat list
+    of active (8-tri block, tile-row) visits -- the dense-mesh default.
+    Returns (u32 image, overflow bool)."""
+    from . import deposit as dep
+    (v0, v1, v2, mask), ovf = dep.render_gbuffer_visits(
+        records, bbox, width, height, cap)
+    if fs_mode == "shipped":
+        h_range = h_max - h_min
+        img = fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure,
+                                  sun_dir)
+    else:
+        img = fragment.terrain_fs_extended(v0, v1, v2, mask, lut, heights,
+                                           h_min, h_max, exposure, sun_dir,
+                                           spacing, exaggeration)
+    return img, ovf
+
+
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "cap", "slots", "fs_mode"))
 def _terrain_render_deposit(records, bbox, heights, lut, h_min, h_max,
@@ -366,13 +413,27 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     # need the true DEM spacing.
     nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
     T = int(indices.shape[0])
-    if (be == "pallas" and T > SEGMENT_THRESHOLD
-            and os.environ.get("VF_DEPOSIT", "0") == "1"
+    dense_mode = os.environ.get("VF_DENSE", "strips")
+    if (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "visits"
+            and _deposit_fit(T, height)):
+        # Dense meshes: flat visit-list strip kernel -- only active
+        # (block, tile-row) pairs reach the kernel. Overflow (a frame
+        # exceeding the ratcheted visit capacity) bumps and falls back.
+        cap = _visits_params(bbox, width, height)
+        img_u32, ovf = _terrain_render_visits(
+            records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
+            nsp, exaggeration, width, height, cap, fs_mode=fs_mode)
+        if bool(jax.device_get(ovf)):
+            _visits_params(bbox, width, height, bump=True)
+            rs = int(row_size) if row_size else T
+            img_u32 = _terrain_render_strips(
+                records, bbox, heights, lut, h_min, h_max, exposure,
+                sun_dir, nsp, exaggeration, width, height, rs,
+                fs_mode=fs_mode)
+    elif (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "mxu"
             and _deposit_fit(T, height)
             and (dp := _deposit_params(bbox, width, height)) is not None):
-        # Dense/subpixel meshes: candidate-deposit kernel (deposit.py) --
-        # ~5-8x the strip walk. Overflow (visit list or slot span exceeded
-        # by a frame beyond the ratcheted maximum) falls back to strips.
+        # Experimental: candidate-deposit kernel (MXU one-hot placement).
         cap, slots = dp
         img_u32, ovf = _terrain_render_deposit(
             records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
@@ -492,6 +553,33 @@ def _terrain_render_batch_strips(xyuv, indices, heights, views, projs, lut,
         lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
                                                exposure, sun_dir)
     )(v0, v1, v2, mask)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cap",
+                                             "fs_mode"))
+def _terrain_render_batch_visits(xyuv, indices, heights, views, projs, lut,
+                                 h_min, h_max, exposure, sun_dir, spacing,
+                                 exaggeration, width, height, cap,
+                                 fs_mode="shipped"):
+    """Batched visit-list strip path: B frames in one dispatch.
+    Returns (imgs (B,H,W) u32, overflow bool)."""
+    from . import deposit as dep
+
+    def prep(view, proj):
+        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+        x, y, _z, w = clip_to_fb(clip, width, height)
+        return triangle_setup(x, y, _z, w, varyings, indices, width, height)
+
+    records_b, bbox_b = jax.vmap(prep)(views, projs)
+    (v0, v1, v2, mask), ovf = dep.render_gbuffer_visits_batch(
+        records_b, bbox_b, width, height, cap)
+    h_range = h_max - h_min
+    imgs = jax.vmap(
+        lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
+                                               exposure, sun_dir)
+    )(v0, v1, v2, mask)
+    return imgs, ovf
 
 
 @functools.partial(jax.jit, static_argnames=(
