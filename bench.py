@@ -82,7 +82,7 @@ def main() -> int:
 
     run = None
     if (use_pallas and T > P.SEGMENT_THRESHOLD
-            and os.environ.get("VF_DENSE", "visits") == "visits"
+            and os.environ.get("VF_DENSE", "strips") == "visits"
             and P._deposit_fit(T, HEIGHT)):
         # Dense mesh, first choice: visit-list strip kernel (deposit.py),
         # ONE dispatch per batch. Ratchet the visit capacity from frame 0;

@@ -381,6 +381,7 @@ def render_gbuffer_deposit_batch(records_b, bbox_b, width: int, height: int,
     h8 = nty * tile_h
     assert tile_h == 8 and tile_w == 128
     assert T < (1 << 24), "deposit path carries painter ids in one f32"
+    assert cap <= 16384, "deposit entries block exceeds scoped VMEM"
     assert nty <= _NTY_PAD
     # Five accumulator strips + outputs must fit VMEM.
     assert h8 * 128 * 4 * 5 < 12 * 2**20, "framebuffer too tall for deposit"
@@ -400,6 +401,10 @@ def render_gbuffer_deposit_batch(records_b, bbox_b, width: int, height: int,
         num_scalar_prefetch=1,
         grid=(ntx,),
         in_specs=[
+            # NOTE (cap,1) VMEM blocks pad to 128 lanes physically
+            # (cap x 512 B): caps above ~16K exhaust scoped VMEM. The
+            # visit-list kernel solves this with a segmented grid; this
+            # experimental path keeps the simple layout and asserts.
             pl.BlockSpec((1, 1, cap, 1),
                          lambda p, *pref: (0, p, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -462,35 +467,42 @@ def render_gbuffer_deposit_batch(records_b, bbox_b, width: int, height: int,
 BLOCK_T = 8      # triangles per visit (strips arithmetic, sublane-native)
 
 
-def _visits_kernel(counts_ref,                      # scalar prefetch (B*NTX,)
-                   entries_ref,                     # VMEM (1, 1, CAP, 1)
-                   recs_hbm,                        # HBM (T8, REC_WIDTH)
-                   v0_ref, v1_ref, v2_ref, mask_ref,
-                   aid_ref, a0_ref, a1_ref, a2_ref, aw_ref,
-                   scratch, sem,                    # (3, 8, REC_WIDTH)
-                   *, ntx, nty, frame_rows):
+def _visits_kernel(counts_ref,                      # scalar prefetch (NTX,)
+                   entries_ref,                     # VMEM (1,CHUNK,1) seg
+                   recs_hbm,                        # HBM (T8, 128)
+                   aid_ref, a0_ref, a1_ref, a2_ref, aw_ref,   # persistent outs
+                   scratch, sem,                    # (3, 8, 128)
+                   *, ntx, nseg, chunk, frame_rows):
     prog = pl.program_id(0)
-    tx = jax.lax.rem(prog, ntx)
-    frame = jax.lax.div(prog, ntx)
-    h8 = v0_ref.shape[0]
+    seg = jax.lax.rem(prog, nseg)
+    colfr = jax.lax.div(prog, nseg)                  # frame * ntx + col
+    tx = jax.lax.rem(colfr, ntx)
+    frame = jax.lax.div(colfr, ntx)
+    h8 = aid_ref.shape[0]
 
-    neg1 = jnp.full((h8, 128), -1.0, jnp.float32)
-    zero = jnp.zeros((h8, 128), jnp.float32)
-    aid_ref[...] = neg1
-    a0_ref[...] = zero
-    a1_ref[...] = zero
-    a2_ref[...] = zero
-    aw_ref[...] = jnp.ones((h8, 128), jnp.float32)
+    # Accumulators are the OUTPUT blocks: consecutive seg-programs share
+    # the same block (reduction-grid pattern), so the per-program visit
+    # chunk stays small enough for VMEM ((cap,1) int32 blocks pad to 128
+    # lanes physically -- 32 MB at cap=64K killed the single-program form).
+    @pl.when(seg == 0)
+    def _():
+        aid_ref[...] = jnp.full((h8, 128), -1.0, jnp.float32)
+        zero = jnp.zeros((h8, 128), jnp.float32)
+        a0_ref[...] = zero
+        a1_ref[...] = zero
+        a2_ref[...] = zero
+        aw_ref[...] = jnp.ones((h8, 128), jnp.float32)
 
-    n = counts_ref[prog]
+    n_total = counts_ref[colfr]
+    n = jnp.clip(n_total - seg * chunk, 0, chunk)
     frame_base = frame * frame_rows
 
     def block_of(e):
-        ent = entries_ref[0, 0, e, 0]
+        ent = entries_ref[0, e, 0]
         return jax.lax.div(ent, _NTY_PAD)
 
     def dma(e, slot):
-        blk = block_of(jnp.minimum(e, n - 1))
+        blk = block_of(jnp.clip(e, 0, n - 1))
         return pltpu.make_async_copy(
             recs_hbm.at[pl.ds(frame_base + blk * BLOCK_T, BLOCK_T), :],
             scratch.at[slot], sem.at[slot])
@@ -508,10 +520,10 @@ def _visits_kernel(counts_ref,                      # scalar prefetch (B*NTX,)
         slot = jax.lax.rem(e, 3)
         dma(e, slot).wait()
         dma(e + 2, jax.lax.rem(e + 2, 3)).start()   # 3-deep: race-free
-        ent = entries_ref[0, 0, e, 0]
+        ent = entries_ref[0, e, 0]
         blk = jax.lax.div(ent, _NTY_PAD)
         ty = ent - blk * _NTY_PAD
-        rec = scratch[slot]                          # (8, REC_WIDTH)
+        rec = scratch[slot]                          # (8, 128)
 
         def col(k):
             return rec[:, k].reshape(1, BLOCK_T, 1)
@@ -556,14 +568,6 @@ def _visits_kernel(counts_ref,                      # scalar prefetch (B*NTX,)
         dma(n, jax.lax.rem(n, 3)).wait()
         dma(n + 1, jax.lax.rem(n + 1, 3)).wait()
 
-    covered = aid_ref[...] >= 0.0
-    aw = aw_ref[...]
-    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
-    v0_ref[...] = a0_ref[...] * rcp
-    v1_ref[...] = a1_ref[...] * rcp
-    v2_ref[...] = a2_ref[...] * rcp
-    mask_ref[...] = covered.astype(jnp.float32)
-
 
 def render_gbuffer_visits_batch(records_b, bbox_b, width: int, height: int,
                                 cap: int,
@@ -584,55 +588,71 @@ def render_gbuffer_visits_batch(records_b, bbox_b, width: int, height: int,
     assert nty <= _NTY_PAD
     assert h8 * 128 * 4 * 5 < 12 * 2**20
 
+    CHUNK = 2048                      # visits per grid program (1 MB block)
+    nseg = max(-(-cap // CHUNK), 1)
+    cap_pad = nseg * CHUNK
+
     def one_tables(bbox):
-        return build_visit_tables(bbox, width, height, cap,
+        return build_visit_tables(bbox, width, height, cap_pad,
                                   slots=1 << 20,   # no slot-width limit here
                                   tile_h=tile_h, tile_w=tile_w,
                                   slab_t=BLOCK_T, group_t=BLOCK_T)
 
     entries_b, counts_b, overflow_b = jax.vmap(one_tables)(bbox_b)
+    entries_b = entries_b[..., None]                 # (B, NTX, cap_pad, 1)
 
     # Pad the record stream to whole blocks (padding rows are the zero
-    # sentinel: valid flag 0).
+    # sentinel: valid flag 0) and to 128 lanes: Mosaic requires DMA slices
+    # lane-aligned to the (8,128) tiling, and the (N,40) row layout is
+    # already 128-lane padded physically, so this costs bandwidth only for
+    # the materializing copy.
     pad = nblock * BLOCK_T - T
-    recs_pad = jnp.pad(records_b[:, :T], ((0, 0), (0, pad + BLOCK_T), (0, 0)))
+    recs_pad = jnp.pad(records_b[:, :T],
+                       ((0, 0), (0, pad + BLOCK_T), (0, 128 - REC_WIDTH)))
 
-    kernel = functools.partial(_visits_kernel, ntx=ntx, nty=nty,
-                               frame_rows=0)
+    kernel = functools.partial(_visits_kernel, ntx=ntx, nseg=nseg,
+                               chunk=CHUNK, frame_rows=0)
     out_shape = jax.ShapeDtypeStruct((h8, ntx * 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntx,),
+        grid=(ntx * nseg,),
         in_specs=[
-            pl.BlockSpec((1, 1, cap, 1), lambda p, *pref: (0, p, 0, 0),
+            pl.BlockSpec((1, CHUNK, 1),
+                         lambda p, *pref: (p // nseg, p % nseg, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=tuple(
-            pl.BlockSpec((h8, 128), lambda p, *pref: (0, p),
-                         memory_space=pltpu.VMEM) for _ in range(4)),
+            pl.BlockSpec((h8, 128), lambda p, *pref: (0, p // nseg),
+                         memory_space=pltpu.VMEM) for _ in range(5)),
         scratch_shapes=[
-            pltpu.VMEM((h8, 128), jnp.float32) for _ in range(5)
-        ] + [
-            pltpu.VMEM((3, BLOCK_T, REC_WIDTH), jnp.float32),
+            pltpu.VMEM((3, BLOCK_T, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     call = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=(out_shape, out_shape, out_shape, out_shape))
+        out_shape=tuple(out_shape for _ in range(5)))
 
-    outs = [call(counts_b[i].reshape(-1), entries_b[i][None, ..., None],
-                 recs_pad[i]) for i in range(B)]
-    v0 = jnp.stack([o[0] for o in outs])
-    v1 = jnp.stack([o[1] for o in outs])
-    v2 = jnp.stack([o[2] for o in outs])
-    mask = jnp.stack([o[3] for o in outs])
+    v0s, v1s, v2s, masks = [], [], [], []
+    for i in range(B):
+        aid, a0, a1, a2, aw = call(
+            counts_b[i].reshape(-1), entries_b[i], recs_pad[i])
+        covered = aid >= 0.0
+        rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+        v0s.append(a0 * rcp)
+        v1s.append(a1 * rcp)
+        v2s.append(a2 * rcp)
+        masks.append(covered)
+    v0 = jnp.stack(v0s)
+    v1 = jnp.stack(v1s)
+    v2 = jnp.stack(v2s)
+    mask = jnp.stack(masks)
 
     def crop(a):
         return a[:, :height, :width]
 
-    return (crop(v0), crop(v1), crop(v2), crop(mask) > 0.5), jnp.any(overflow_b)
+    return (crop(v0), crop(v1), crop(v2), crop(mask) > 0), jnp.any(overflow_b)
 
 
 def render_gbuffer_visits(records, bbox, width: int, height: int, cap: int,
@@ -641,3 +661,39 @@ def render_gbuffer_visits(records, bbox, width: int, height: int, cap: int,
         records[None], bbox[None], width, height, cap, tile_h, tile_w)
     v0, v1, v2, m = out
     return (v0[0], v1[0], v2[0], m[0]), ovf
+
+
+def render_gbuffer_visits_kernel_only(recs_pad, entries, counts,
+                                      width: int, height: int, cap: int,
+                                      tile_h: int = TILE_H,
+                                      tile_w: int = TILE_W):
+    """The visits pallas call alone on prebuilt operands (profiling)."""
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    h8 = nty * tile_h
+    CHUNK = 2048
+    nseg = max(-(-cap // CHUNK), 1)
+    kernel = functools.partial(_visits_kernel, ntx=ntx, nseg=nseg,
+                               chunk=CHUNK, frame_rows=0)
+    out_shape = jax.ShapeDtypeStruct((h8, ntx * 128), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntx * nseg,),
+        in_specs=[
+            pl.BlockSpec((1, CHUNK, 1),
+                         lambda p, *pref: (p // nseg, p % nseg, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((h8, 128), lambda p, *pref: (0, p // nseg),
+                         memory_space=pltpu.VMEM) for _ in range(5)),
+        scratch_shapes=[
+            pltpu.VMEM((3, BLOCK_T, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    call = jax.jit(pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=tuple(out_shape for _ in range(5))))
+    return call(counts.reshape(-1), entries[..., None], recs_pad)

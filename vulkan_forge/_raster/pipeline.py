@@ -231,7 +231,9 @@ def _deposit_params(bbox, width, height):
         cmax, span = jax.device_get(_deposit_stats(bbox, width, height))
         if int(span) > 8:
             return None  # triangles too wide: not a dense mesh
-        cap = _round_capacity(int(cmax) * 2)   # headroom across the orbit
+        cap = min(_round_capacity(int(cmax) * 2), 16384)  # VMEM entry limit
+        if int(cmax) > 16384:
+            return None  # visit lists too long for the experimental path
         slots = 4 if int(span) <= 4 else 8
         _DEPOSIT_RATCHET[key] = (cap, slots)
         return cap, slots
@@ -246,7 +248,7 @@ def _deposit_bump(bbox, width, height):
         _DEPOSIT_RATCHET.pop(key, None)
         return None
     prev = _DEPOSIT_RATCHET.get(key, (8, 4))
-    cap = max(_round_capacity(int(cmax) * 2), prev[0])
+    cap = min(max(_round_capacity(int(cmax) * 2), prev[0]), 16384)
     slots = max(4 if int(span) <= 4 else 8, prev[1])
     _DEPOSIT_RATCHET[key] = (cap, slots)
     return cap, slots
