@@ -125,9 +125,12 @@ def main() -> int:
             # before execution for pallas-dominated outputs here (CLAUDE.md)
             return jax.device_get(out[:, ::53, ::67])
     elif run is None:
-        # Moderate meshes: per-frame dispatch with one shared executable
-        # (measured faster than the vmapped batch: vmapped scatter binning
-        # lowers poorly); capacities sized once over all camera sets.
+        # Moderate meshes: ALL frames of a batch inside ONE jit -> one
+        # dispatch (measured 3.1x over per-frame dispatch at grid=128:
+        # 18.3 vs 57.5 ms/frame -- the fixed per-dispatch overhead
+        # dominates small scenes). Frames stay sequential inside the
+        # executable (a vmapped batch lowers the scatter binning poorly);
+        # capacities sized once over all camera sets.
         views0, projs0 = cam_sets[0]
         cmax, sx, sy = jax.device_get(P._terrain_batch_counts(
             xyuv, indices, heights, views0, projs0, args["spacing"],
@@ -137,19 +140,22 @@ def main() -> int:
         span_y = P._round_span(int(sy))
 
         @jax.jit
-        def frame(view, proj):
-            records, bbox = P._terrain_records.__wrapped__(
-                xyuv, indices, heights, view, proj, args["spacing"],
-                args["exaggeration"], WIDTH, HEIGHT)
-            return P._terrain_render_from_records.__wrapped__(
-                records, bbox, heights, lut, args["h_min"], args["h_max"],
-                args["exposure"], args["sun_dir"], args["spacing"],
-                args["exaggeration"], WIDTH, HEIGHT, capacity, span_x,
-                span_y, fs_mode="shipped", use_pallas=use_pallas)
+        def batch_frames(views, projs):
+            outs = []
+            for i in range(BATCH):
+                records, bbox = P._terrain_records.__wrapped__(
+                    xyuv, indices, heights, views[i], projs[i],
+                    args["spacing"], args["exaggeration"], WIDTH, HEIGHT)
+                outs.append(P._terrain_render_from_records.__wrapped__(
+                    records, bbox, heights, lut, args["h_min"],
+                    args["h_max"], args["exposure"], args["sun_dir"],
+                    args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
+                    capacity, span_x, span_y, fs_mode="shipped",
+                    use_pallas=use_pallas))
+            return jnp.stack(outs)
 
         def run(views, projs):
-            outs = [frame(views[i], projs[i]) for i in range(BATCH)]
-            return [jax.device_get(o[::53, ::67]) for o in outs]
+            return jax.device_get(batch_frames(views, projs)[:, ::53, ::67])
 
     run(*cam_sets[-1])  # compile
     t0 = time.perf_counter()
