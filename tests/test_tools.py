@@ -86,3 +86,21 @@ def test_backends_runner_cli(tmp_path):
     rep = json.loads((tmp_path / "backends_report.json").read_text())
     assert rep["at_least_one_ok"]
     assert rep["cross_backend_equal"]
+
+
+def test_vf_trace_appends_json_lines(tmp_path, monkeypatch):
+    """VF_TRACE=<path> streams per-render stage metrics as JSON lines
+    (docs/NEXT.md observability item; reference pattern: JSON artifacts)."""
+    import json
+
+    import vulkan_forge as vf
+    trace = tmp_path / "trace.jsonl"
+    monkeypatch.setenv("VF_TRACE", str(trace))
+    r = vf.Renderer(32, 32)
+    r.render_triangle_rgba()
+    r.render_triangle_rgba()
+    lines = trace.read_text().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["width"] == 32 and rec["bytes"] == 32 * 32 * 4
+    assert rec["render_ms"] >= 0.0 and rec["total_ms"] >= rec["render_ms"]

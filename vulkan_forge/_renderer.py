@@ -15,6 +15,7 @@ same methods, defaults, and error strings. Differences by design:
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -74,6 +75,19 @@ class Renderer:
             "width": self.width,
             "height": self.height,
         }
+        # VF_TRACE=1 streams per-render stage metrics to stderr; any other
+        # value is treated as a path to append JSON lines to (the tools'
+        # JSON-artifact observability pattern, applied per frame).
+        trace = os.environ.get("VF_TRACE")
+        if trace:
+            import json
+            import sys
+            line = json.dumps(self._last_metrics)
+            if trace == "1":
+                print(f"[vf-trace] {line}", file=sys.stderr)
+            else:
+                with open(trace, "a") as f:
+                    f.write(line + "\n")
 
     # ---------------- triangle path ----------------
 
