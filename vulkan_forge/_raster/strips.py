@@ -111,19 +111,20 @@ def build_strip_stream(records, bbox, row_size: int,
         axis=1) if bpr * 8 != row_size else rec_rows.reshape(
             rows, row_size, REC_WIDTH)
     del pad_rows
-    stream = rec_pad.reshape(tb, 8, REC_WIDTH)
-    stream = stream.at[:, 0, TY0_COL].set(blk_ty0c.astype(jnp.float32))
-    stream = stream.at[:, 0, NTRIP_COL].set(blk_trips.astype(jnp.float32))
-    # Pad the frame's block count to a whole number of DMA slabs (zero
-    # blocks: invalid, zero trips) so slab reads clamped to the frame can
-    # never cross into the next frame's stream.
+    # Pad FIRST (block count to whole DMA slabs so clamped slab reads never
+    # cross into the next frame's stream, and lanes to 128 so DMAs match
+    # the physical (8,128) tiling), THEN stamp: stamping before padding
+    # forces XLA to materialize the 1.07-GB-scale stream TWICE (a full
+    # copy for the scatter update and another for the pad); this order is
+    # one pad pass plus two tiny (TB,)-element scatters. Byte-identical:
+    # the stamps land on the same cells either way.
     tb_pad = max(-(-tb // _SLAB) * _SLAB, _SLAB)
-    if tb_pad != tb:
-        stream = jnp.concatenate(
-            [stream, jnp.zeros((tb_pad - tb, 8, REC_WIDTH), stream.dtype)])
-    # Physical (8,128) tiling: pad lanes so DMA slabs never lane-slice.
-    stream = stream.reshape(tb_pad * 8, REC_WIDTH)
-    stream = jnp.pad(stream, ((0, 0), (0, 128 - REC_WIDTH)))
+    stream = rec_pad.reshape(tb * 8, REC_WIDTH)
+    stream = jnp.pad(stream, ((0, (tb_pad - tb) * 8), (0, 128 - REC_WIDTH)))
+    stream = stream.reshape(tb_pad, 8, 128)
+    stream = stream.at[:tb, 0, TY0_COL].set(blk_ty0c.astype(jnp.float32))
+    stream = stream.at[:tb, 0, NTRIP_COL].set(blk_trips.astype(jnp.float32))
+    stream = stream.reshape(tb_pad * 8, 128)
 
     # --- per (column, mesh-row) block intervals (conservative: min..max
     # overlapping block index; coverage rejects extras, painter max-id keeps
@@ -219,8 +220,15 @@ def _strip_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
         def _do_block(scratch, slot, c, blk):
             rec = scratch[slot, pl.ds(c * 8, 8), :]  # (8, 128) static slice
 
+            # Hoist every record-column broadcast out of the trip loop: a
+            # trip re-sliced 27 columns per tile row, and Mosaic does not
+            # reliably CSE dynamic-ref reads across fori iterations (the
+            # measured ~2.6x gap between the visit cost and its op-count
+            # floor, docs/NEXT.md). Pure scheduling: byte-identical.
+            C = [rec[:, k].reshape(1, 8, 1) for k in range(31)]
+
             def col(k):
-                return rec[:, k].reshape(1, 8, 1)
+                return C[k]
 
             ty0 = rec[0, TY0_COL].astype(jnp.int32)
             ntr = rec[0, NTRIP_COL].astype(jnp.int32)
