@@ -435,3 +435,20 @@ def test_visits_backend_identical():
     for a, b in ((v0, o0), (v1, o1), (v2, o2)):
         np.testing.assert_array_equal(
             np.where(both, np.asarray(a), 0), np.where(both, np.asarray(b), 0))
+
+
+def test_strips_extended_fs_matches_oracle(monkeypatch):
+    """Dense-path selection combined with the EXTENDED fragment pipeline
+    (Renderer.render_rgba's mode): force the strip walk on a small DEM and
+    byte-compare against the jnp oracle route."""
+    h = (np.outer(np.linspace(0, 1, 24), np.linspace(1, 0, 24)) * 30
+         ).astype(np.float32)
+    imgs = {}
+    for be, thresh in (("pallas", 1), ("jnp", 10**9)):
+        monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", thresh)
+        monkeypatch.setenv("VF_BACKEND", be)
+        r = vf.Renderer(160, 120)
+        r.add_terrain(h, (5.0, 5.0), 1.0, "magma")
+        r.set_sun(40.0, 210.0)
+        imgs[be] = r.render_rgba()
+    np.testing.assert_array_equal(imgs["pallas"], imgs["jnp"])
