@@ -87,7 +87,7 @@ except Exception:
     try:
         __version__ = version("vulkan_forge")
     except Exception:
-        __version__ = "0.1.0"
+        __version__ = "0.2.0"
 
 # Legacy alias for T11 compatibility
 generate_grid = grid_generate
