@@ -452,3 +452,63 @@ def test_strips_extended_fs_matches_oracle(monkeypatch):
         r.set_sun(40.0, 210.0)
         imgs[be] = r.render_rgba()
     np.testing.assert_array_equal(imgs["pallas"], imgs["jnp"])
+
+
+@pytest.mark.parametrize("wh", [(130, 57), (64, 100), (257, 9)])
+def test_raster_odd_shapes_vs_bruteforce(wh):
+    """Odd framebuffer shapes (partial tiles on both axes) vs a
+    brute-force per-pixel evaluator: crop/padding edge cases."""
+    import jax
+    import jax.numpy as jnp
+    from vulkan_forge._raster import tiles
+    from vulkan_forge._raster.setup import (bin_triangles, clip_to_fb,
+                                            tile_counts, tile_span_max,
+                                            triangle_setup)
+    W, H = wh
+    rng = np.random.default_rng(W * 1000 + H)
+    n = 12
+    v = rng.uniform(-1.1, 1.1, (n * 3, 2))
+    clip = np.concatenate([v, np.full((n * 3, 1), 0.5),
+                           np.ones((n * 3, 1))], 1).astype(np.float32)
+    attrs = rng.uniform(-2, 2, (n * 3, 3)).astype(np.float32)
+    indices = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        x, y, z, w = clip_to_fb(jnp.asarray(clip), W, H)
+        records, bbox = triangle_setup(x, y, z, w, jnp.asarray(attrs),
+                                       jnp.asarray(indices), W, H)
+        cmax = int(tile_counts(bbox, W, H).max())
+        sx, sy = tile_span_max(bbox, W, H)
+        binning = bin_triangles(bbox, W, H, max(cmax, 8),
+                                span_x=pipeline._round_span(int(sx)),
+                                span_y=pipeline._round_span(int(sy)))
+        v0, v1, v2, mask = tiles.render_gbuffer(
+            records, binning.tile_lists, W, H)
+
+        # brute force: every pixel against every record, same f32 math
+        rec = np.asarray(records)
+        xs = (np.arange(W, dtype=np.float32) + 0.5)[None, :]
+        ys = (np.arange(H, dtype=np.float32) + 0.5)[:, None]
+        bid = np.full((H, W), -1, np.int32)
+        bv0 = np.zeros((H, W), np.float32)
+        for t in range(n):
+            r = rec[t]
+            f0 = np.float32(r[2]) * (xs - np.float32(r[0])) - np.float32(r[3]) * (ys - np.float32(r[1]))
+            f1 = np.float32(r[6]) * (xs - np.float32(r[4])) - np.float32(r[7]) * (ys - np.float32(r[5]))
+            f2 = np.float32(r[10]) * (xs - np.float32(r[8])) - np.float32(r[11]) * (ys - np.float32(r[9]))
+            aw = f0 * r[21] + f1 * r[22] + f2 * r[23]
+            az = f0 * r[25] + f1 * r[26] + f2 * r[27]
+            asum = f0 * r[28] + f1 * r[29] + f2 * r[30]
+            cov = ((f0 >= 0) & (f1 >= 0) & (f2 >= 0) & (r[24] > 0)
+                   & (az >= 0) & (aw > 0) & (asum - az >= 0))
+            a0 = f0 * r[12] + f1 * r[13] + f2 * r[14]
+            val = np.where(np.abs(aw) < 1e-20, a0, a0 / np.where(
+                np.abs(aw) < 1e-20, 1.0, aw))
+            bid[cov] = t
+            bv0[cov] = val[cov].astype(np.float32)
+
+        np.testing.assert_array_equal(np.asarray(mask), bid >= 0)
+        both = bid >= 0
+        np.testing.assert_allclose(np.where(both, np.asarray(v0), 0),
+                                   np.where(both, bv0, 0), rtol=1e-5,
+                                   atol=1e-5)
