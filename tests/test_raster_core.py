@@ -512,3 +512,57 @@ def test_raster_odd_shapes_vs_bruteforce(wh):
         np.testing.assert_allclose(np.where(both, np.asarray(v0), 0),
                                    np.where(both, bv0, 0), rtol=1e-5,
                                    atol=1e-5)
+
+
+def test_deposit_collision_heavy_stack_exact():
+    """Adversarial for the MXU deposit kernel: many SAME-SLAB triangles
+    covering the same cells (a stack of overlapping quads) -- the 2^rel
+    bitmask winner and the gather-back loser-kill must keep pass B a
+    single-contributor transport. Byte-compare vs the jnp oracle."""
+    import jax
+    import jax.numpy as jnp
+    from vulkan_forge._raster import deposit as dep
+    from vulkan_forge._raster import tiles
+    from vulkan_forge._raster.setup import (bin_triangles, clip_to_fb,
+                                            tile_counts, tile_span_max,
+                                            triangle_setup)
+
+    W, H = 128, 64
+    rng = np.random.default_rng(3)
+    n = 96                                   # < SLAB_T: all in one slab
+    # small overlapping triangles jittered around one spot (subpixel size
+    # to satisfy the slot-span limit)
+    cx, cy = rng.uniform(-0.2, 0.2, (2,))
+    centers = np.stack([cx + rng.uniform(-0.08, 0.08, n),
+                        cy + rng.uniform(-0.08, 0.08, n)], 1)
+    offs = rng.standard_normal((n, 3, 2)) * 0.03
+    v = (centers[:, None, :] + offs).reshape(-1, 2).astype(np.float32)
+    clip = np.concatenate([v, np.full((n * 3, 1), 0.5, np.float32),
+                           np.ones((n * 3, 1), np.float32)], 1)
+    attrs = rng.uniform(-3, 3, (n * 3, 3)).astype(np.float32)
+    indices = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
+
+    x, y, z, w = clip_to_fb(jnp.asarray(clip), W, H)
+    records, bbox = triangle_setup(x, y, z, w, jnp.asarray(attrs),
+                                   jnp.asarray(indices), W, H)
+    cmax, span = jax.device_get(pipeline._deposit_stats(bbox, W, H))
+    if int(span) > 8:
+        pytest.skip("jitter produced an over-wide triangle")
+    (v0, v1, v2, m), ovf = dep.render_gbuffer_deposit(
+        records, bbox, W, H, pipeline._round_capacity(int(cmax)),
+        4 if int(span) <= 4 else 8)
+    assert not bool(jax.device_get(ovf))
+
+    c2 = int(jax.device_get(tile_counts(bbox, W, H).max()))
+    sx, sy = jax.device_get(tile_span_max(bbox, W, H))
+    binning = bin_triangles(bbox, W, H, max(pipeline._round_capacity(c2), 8),
+                            span_x=pipeline._round_span(int(sx)),
+                            span_y=pipeline._round_span(int(sy)))
+    o0, o1, o2, om = tiles.render_gbuffer(records, binning.tile_lists, W, H)
+
+    om_ = np.asarray(om)
+    assert om_.sum() > 5, "stack missed the framebuffer"
+    np.testing.assert_array_equal(np.asarray(m), om_)
+    for a, b in ((v0, o0), (v1, o1), (v2, o2)):
+        np.testing.assert_array_equal(
+            np.where(om_, np.asarray(a), 0), np.where(om_, np.asarray(b), 0))
