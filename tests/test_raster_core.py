@@ -566,3 +566,23 @@ def test_deposit_collision_heavy_stack_exact():
     for a, b in ((v0, o0), (v1, o1), (v2, o2)):
         np.testing.assert_array_equal(
             np.where(om_, np.asarray(a), 0), np.where(om_, np.asarray(b), 0))
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_terrain_backends_identical_random_cameras(monkeypatch, seed):
+    """Backend byte-identity under randomized cameras (fixed-camera tests
+    can hide angle-dependent kernel bugs; the round-1 segment-perm defect
+    was exactly such a case)."""
+    rng = np.random.default_rng(seed)
+    eye = rng.uniform([-4, 0.5, -4], [4, 3.5, 4])
+    tgt = rng.uniform([-0.4, -0.3, -0.4], [0.4, 0.3, 0.4])
+    h = rng.standard_normal((32, 32)).astype(np.float32) * 0.2
+    imgs = {}
+    for be in ("jnp", "pallas"):
+        monkeypatch.setenv("VF_BACKEND", be)
+        s = vf.Scene(160, 120, 32, "magma")
+        s.set_height_from_r32f(h)
+        s.set_camera_look_at(tuple(eye), tuple(tgt), (0, 1, 0),
+                             50.0, 0.1, 100.0)
+        imgs[be] = s.render_rgba()
+    np.testing.assert_array_equal(imgs["jnp"], imgs["pallas"])
