@@ -81,8 +81,24 @@ def main() -> int:
         cam_sets.append((jnp.asarray(v), jnp.asarray(p)))
 
     run = None
-    if (use_pallas and T > P.SEGMENT_THRESHOLD
-            and os.environ.get("VF_DENSE", "strips") == "visits"
+    dense_mode = os.environ.get("VF_DENSE", "packed")
+    if use_pallas and T > P.SEGMENT_THRESHOLD and dense_mode == "packed" \
+            and P._strips_fit(HEIGHT):
+        # Dense mesh default (round 3): packed 128 B/tri stream + strip
+        # walk, one dispatch per batch, no data-dependent shapes.
+        row_size = 2 * (GRID - 1)
+
+        def run(views, projs):
+            out = P._terrain_render_batch_packed(
+                xyuv, indices, heights, views, projs, lut, args["h_min"],
+                args["h_max"], args["exposure"], args["sun_dir"],
+                args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
+                row_size, fs_mode="shipped")
+            # device_get, NOT block_until_ready (CLAUDE.md benchmark trap 2)
+            return jax.device_get(out[:, ::53, ::67])
+
+    if (run is None and use_pallas and T > P.SEGMENT_THRESHOLD
+            and dense_mode == "visits"
             and P._deposit_fit(T, HEIGHT)):
         # Dense mesh, first choice: visit-list strip kernel (deposit.py),
         # ONE dispatch per batch. Ratchet the visit capacity from frame 0;
@@ -172,6 +188,47 @@ def main() -> int:
         "vs_baseline": round(mpix / baseline_mpix, 2),
     }
     print(json.dumps(result))
+    return _enforce_perf(result)
+
+
+def _enforce_perf(result) -> int:
+    """Throughput regression gate (reference perf_sanity.py:110-128
+    semantics applied to the TPU bench: fail if a run falls below 2/3 of
+    the recorded baseline -- the reciprocal of its '+50% time' budget).
+
+    VF_ENFORCE_PERF=1 enables the gate; VF_UPDATE_PERF_BASELINE=1 records
+    the current run into perf_baseline.json (commit it each round).
+    Diagnostics go to stderr -- stdout stays ONE JSON line.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "perf_baseline.json")
+    baselines = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                baselines = json.load(f)
+        except Exception:
+            baselines = {}
+    if os.environ.get("VF_UPDATE_PERF_BASELINE") == "1":
+        baselines[result["metric"]] = result["value"]
+        with open(path, "w") as f:
+            json.dump(baselines, f, indent=2, sort_keys=True)
+        print(f"perf baseline updated: {result['metric']} = "
+              f"{result['value']}", file=sys.stderr)
+    if os.environ.get("VF_ENFORCE_PERF") != "1":
+        return 0
+    prev = baselines.get(result["metric"])
+    if prev is None:
+        print(f"perf gate: no baseline for {result['metric']} "
+              f"(run with VF_UPDATE_PERF_BASELINE=1)", file=sys.stderr)
+        return 0
+    floor = prev / 1.5
+    if result["value"] < floor:
+        print(f"perf gate FAIL: {result['value']} Mpix/s < floor "
+              f"{floor:.2f} (baseline {prev})", file=sys.stderr)
+        return 1
+    print(f"perf gate ok: {result['value']} >= floor {floor:.2f} "
+          f"(baseline {prev})", file=sys.stderr)
     return 0
 
 

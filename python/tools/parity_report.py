@@ -38,7 +38,7 @@ def _boundary(img):
     return m
 
 
-def spike_config(grid, width, height):
+def spike_config(grid, width, height, eye=(3.0, 2.0, 3.0)):
     import jax.numpy as jnp
     from vulkan_forge import _mesh
     from vulkan_forge._camera import look_at_rh, perspective_wgpu
@@ -48,7 +48,7 @@ def spike_config(grid, width, height):
     x = xyuv[:, 0]
     z = xyuv[:, 1]
     h = np.sin(x * 1.3) * 0.25 + np.cos(z * 1.1) * 0.25
-    view = look_at_rh((3.0, 2.0, 3.0), (0, 0, 0), (0, 1, 0))
+    view = look_at_rh(eye, (0, 0, 0), (0, 1, 0))
     proj = perspective_wgpu(np.float32(math.radians(45.0)),
                             np.float32(width / height),
                             np.float32(0.1), np.float32(100.0))
@@ -59,7 +59,8 @@ def spike_config(grid, width, height):
     return clip, varyings, indices
 
 
-def run_config(name, clip, varyings, indices, width, height, report):
+def run_config(name, clip, varyings, indices, width, height, report,
+               rule="shipped"):
     import jax
     import jax.numpy as jnp
     from vulkan_forge._raster import hw_oracle, tiles
@@ -67,6 +68,7 @@ def run_config(name, clip, varyings, indices, width, height, report):
                                             tile_counts, tile_span_max,
                                             triangle_setup)
 
+    fill_rule = "hw" if rule == "hw" else "inclusive"
     hw_id, hw_attr = hw_oracle.rasterize_hw(clip, varyings, indices,
                                             width, height)
     with jax.default_device(jax.devices("cpu")[0]):
@@ -74,13 +76,14 @@ def run_config(name, clip, varyings, indices, width, height, report):
                                 width, height)
         records, bbox = triangle_setup(
             x, y, z, w, jnp.asarray(varyings, jnp.float32),
-            jnp.asarray(indices), width, height)
+            jnp.asarray(indices), width, height, fill_rule=fill_rule)
         cmax = int(tile_counts(bbox, width, height).max())
         sx, sy = tile_span_max(bbox, width, height)
         binning = bin_triangles(bbox, width, height, max(cmax, 8),
                                 span_x=int(sx), span_y=int(sy))
         v0, v1, v2, mask = tiles.render_gbuffer(
-            records, binning.tile_lists, width, height)
+            records, binning.tile_lists, width, height,
+            fill_rule=fill_rule)
         v0, v1, v2, mask = (np.asarray(v0), np.asarray(v1), np.asarray(v2),
                             np.asarray(mask))
 
@@ -115,6 +118,7 @@ def run_config(name, clip, varyings, indices, width, height, report):
 
     entry = {
         "name": name,
+        "rule": rule,
         "covered_px": int(hw_cov.sum()),
         "cov_diff_px": int(cov_diff.sum()),
         "cov_diff_frac": round(float(cov_diff.sum() / max(hw_cov.sum(), 1)), 5),
@@ -132,21 +136,47 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=160)
     ap.add_argument("--height", type=int, default=120)
     ap.add_argument("--grids", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--rules", choices=["shipped", "hw", "both"],
+                    default="both",
+                    help="production fill rule(s) to compare against the "
+                         "fixed-point oracle: shipped (f32 all-inclusive) "
+                         "and/or hw (VF_FILL_RULE=hw: 8.8 snap + top-left)")
+    ap.add_argument("--full", action="store_true",
+                    help="add the north-star 800x600 configs (grid=128 and "
+                         "grid=1024, orbit + clip-crossing cameras; the "
+                         "grid=1024 oracle pass takes minutes)")
     ap.add_argument("--json", default="parity_report.json")
     args = ap.parse_args(argv)
 
+    rules = ["shipped", "hw"] if args.rules == "both" else [args.rules]
+    configs = [(g, args.width, args.height, (3.0, 2.0, 3.0), "")
+               for g in args.grids]
+    if args.full:
+        # BASELINE.json parity config: 800x600; clip-crossing camera sits
+        # low and close so near-plane clipping slices the mesh.
+        configs += [
+            (128, 800, 600, (3.0, 2.0, 3.0), "_orbit"),
+            (128, 800, 600, (0.9, 0.25, 0.7), "_clipcross"),
+            (1024, 800, 600, (0.9, 0.25, 0.7), "_clipcross"),
+        ]
+
     report = {"configs": []}
-    for g in args.grids:
-        clip, varyings, indices = spike_config(g, args.width, args.height)
-        run_config(f"spike_g{g}_{args.width}x{args.height}",
-                   clip, varyings, indices, args.width, args.height, report)
+    for (g, w, h, eye, tag) in configs:
+        clip, varyings, indices = spike_config(g, w, h, eye=eye)
+        for rule in rules:
+            run_config(f"spike_g{g}_{w}x{h}{tag}",
+                       clip, varyings, indices, w, h, report, rule=rule)
 
     report["all_interior_exact"] = all(
         c["interior_mismatch_px"] == 0 for c in report["configs"])
+    hw_entries = [c for c in report["configs"] if c["rule"] == "hw"]
+    report["hw_coverage_exact"] = bool(hw_entries) and all(
+        c["cov_diff_px"] == 0 for c in hw_entries)
     with open(args.json, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {args.json}; all_interior_exact="
-          f"{report['all_interior_exact']}")
+          f"{report['all_interior_exact']}; hw_coverage_exact="
+          f"{report.get('hw_coverage_exact')}")
     return 0 if report["all_interior_exact"] else 1
 
 

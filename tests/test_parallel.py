@@ -36,6 +36,20 @@ def test_dryrun_multichip_8_device_mesh():
     mod.dryrun_multichip(8)  # raises on failure
 
 
+def test_render_spike_frames_dense_route(monkeypatch):
+    # Dense meshes route through the packed-stream path (no capacity
+    # prepass); it must produce the same frames as the single-frame API.
+    import jax
+    from vulkan_forge._raster import pipeline
+    monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", 1)
+    eyes = [(3.0, 2.0, 3.0), (-3.0, 2.0, 3.0)]
+    imgs = render_spike_frames(160, 120, 16, eyes, devices=jax.devices()[:1])
+    assert imgs.shape == (2, 120, 160, 4)
+    t = vf.TerrainSpike(160, 120, 16)
+    t.set_camera_look_at(eyes[0], (0, 0, 0), (0, 1, 0), 45.0, 0.1, 100.0)
+    np.testing.assert_array_equal(imgs[0], t.render_rgba())
+
+
 def test_render_spike_frames_validation():
     import jax
     import pytest

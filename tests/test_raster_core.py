@@ -81,6 +81,23 @@ def test_strip_backend_identical(monkeypatch):
     np.testing.assert_array_equal(strip_img, s2.render_rgba())
 
 
+def test_packed_backend_identical(monkeypatch):
+    # The packed-stream kernel (round-3 dense-mesh default, 128 B/tri)
+    # must match the jnp oracle byte-for-byte through the Scene API.
+    monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", 1)
+    monkeypatch.setenv("VF_DENSE", "packed")
+    monkeypatch.setenv("VF_BACKEND", "pallas")
+    h = (np.outer(np.cos(np.linspace(0, 4, 32)),
+                  np.sin(np.linspace(0, 3, 32)))).astype(np.float32)
+    s1 = vf.Scene(160, 120, 32, "terrain")
+    s1.set_height_from_r32f(h)
+    packed_img = s1.render_rgba()
+    monkeypatch.setenv("VF_BACKEND", "jnp")
+    s2 = vf.Scene(160, 120, 32, "terrain")
+    s2.set_height_from_r32f(h)
+    np.testing.assert_array_equal(packed_img, s2.render_rgba())
+
+
 def test_strips_batch_matches_single():
     # Batched strip path (one pallas_call for B frames) must equal B
     # single-frame renders exactly.

@@ -18,6 +18,30 @@ from __future__ import annotations
 import os as _os
 
 
+def _machine_fingerprint() -> str:
+    """Short host-ISA fingerprint used to key the persistent compile cache.
+
+    XLA:CPU AOT executables are machine-feature-specific: reusing a cache
+    directory across machine types triggers loader warnings and can SIGILL
+    (observed in MULTICHIP_r02.json's tail). Keying the cache subdirectory
+    by (arch, CPU feature flags) keeps each machine type's executables
+    separate while still sharing across processes on the same host type.
+    """
+    import hashlib
+    import platform
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    bits.append(line.split(":", 1)[1].strip())
+                    break
+    except OSError:
+        pass
+    return platform.machine() + "-" + hashlib.sha1(
+        "|".join(bits).encode()).hexdigest()[:10]
+
+
 def _init_compilation_cache() -> None:
     """Enable JAX's persistent compilation cache.
 
@@ -33,7 +57,8 @@ def _init_compilation_cache() -> None:
         import jax
         cache_dir = _os.environ.get(
             "VF_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "vulkan_forge_jax"))
+            _os.path.join(_os.path.expanduser("~"), ".cache", "vulkan_forge_jax",
+                          _machine_fingerprint()))
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -102,3 +127,26 @@ __all__ = [
     "enumerate_adapters", "device_probe",
     "render_spike_frames",
 ]
+
+# Static-typing surface (PEP 561: see py.typed). The reference ships editor
+# signatures the same way (python/vulkan_forge/__init__.py:182-197); these
+# annotate the runtime functions above for type checkers only.
+from typing import TYPE_CHECKING as _TYPE_CHECKING
+
+if _TYPE_CHECKING:
+    from typing import Tuple as _Tuple
+
+    import numpy as _np
+
+    def grid_generate(  # noqa: F811 (typing overlay of the runtime fn)
+        nx: int,
+        nz: int,
+        spacing: "_Tuple[float, float]" = (1.0, 1.0),
+        origin: str = "center",
+    ) -> "_Tuple[_np.ndarray, _np.ndarray, _np.ndarray]": ...
+
+    generate_grid = grid_generate
+
+    def render_triangle_rgba(width: int, height: int) -> "_np.ndarray": ...
+    def render_triangle_png(path: str, width: int, height: int) -> None: ...
+    def make_terrain(width: int, height: int, grid: int = 128) -> "TerrainSpike": ...

@@ -66,25 +66,42 @@ def render_spike_frames(width: int, height: int, grid: int,
                       for e in eyes])
     projs = np.broadcast_to(proj, (B, 4, 4)).copy()
 
-    # Shared static binning params from a prepass over all cameras.
-    cmax, sx, sy = jax.device_get(pipe._terrain_batch_counts(
-        xyuv, indices, heights, jnp.asarray(views), jnp.asarray(projs),
-        jnp.float32(g.spacing), jnp.float32(g.exaggeration), width, height))
-    capacity = pipe._round_capacity(int(cmax))
-    span_x = pipe._round_span(int(sx))
-    span_y = pipe._round_span(int(sy))
-
     mesh = Mesh(np.array(devs), ("frames",))
     use_pallas = pipe.backend_name() == "pallas" and devs[0].platform == "tpu"
+    T = int(indices.shape[0])
 
-    def shard_fn(views_s, projs_s):
-        return pipe._terrain_render_batch.__wrapped__(
-            xyuv, indices, heights, views_s, projs_s, lut,
-            jnp.float32(g.h_min), jnp.float32(g.h_max),
-            jnp.float32(g.exposure), sun,
-            jnp.float32(g.spacing), jnp.float32(g.exaggeration),
-            width, height, capacity, span_x, span_y,
-            fs_mode="shipped", use_pallas=use_pallas)
+    if T > pipe.SEGMENT_THRESHOLD:
+        # Dense meshes (the grid=1024 flagship config): the packed-stream
+        # strip walk -- no capacity prepass, no data-dependent shapes, so
+        # it shards over the frame axis with zero host synchronization.
+        # CPU meshes run the jnp reference walker over the same stream.
+        row_size = 2 * (grid - 1)
+
+        def shard_fn(views_s, projs_s):
+            return pipe._terrain_render_batch_packed.__wrapped__(
+                xyuv, indices, heights, views_s, projs_s, lut,
+                jnp.float32(g.h_min), jnp.float32(g.h_max),
+                jnp.float32(g.exposure), sun,
+                jnp.float32(g.spacing), jnp.float32(g.exaggeration),
+                width, height, row_size,
+                fs_mode="shipped", use_pallas=use_pallas)
+    else:
+        # Shared static binning params from a prepass over all cameras.
+        cmax, sx, sy = jax.device_get(pipe._terrain_batch_counts(
+            xyuv, indices, heights, jnp.asarray(views), jnp.asarray(projs),
+            jnp.float32(g.spacing), jnp.float32(g.exaggeration), width, height))
+        capacity = pipe._round_capacity(int(cmax))
+        span_x = pipe._round_span(int(sx))
+        span_y = pipe._round_span(int(sy))
+
+        def shard_fn(views_s, projs_s):
+            return pipe._terrain_render_batch.__wrapped__(
+                xyuv, indices, heights, views_s, projs_s, lut,
+                jnp.float32(g.h_min), jnp.float32(g.h_max),
+                jnp.float32(g.exposure), sun,
+                jnp.float32(g.spacing), jnp.float32(g.exaggeration),
+                width, height, capacity, span_x, span_y,
+                fs_mode="shipped", use_pallas=use_pallas)
 
     sharded = shard_map(shard_fn, mesh=mesh,
                         in_specs=(P("frames"), P("frames")),

@@ -1,0 +1,541 @@
+"""Packed-stream strip-walk raster backend: 128 B/triangle, 32 KB DMAs.
+
+Round-3 successor to ``strips.py`` for dense meshes. The strip walk's frame
+cost at grid=1024 is dominated not by rasterization arithmetic but by the
+record STREAM: (N, 40) f32 row records pad to 128 lanes physically, so every
+triangle costs 512 B of HBM to write (setup) and read (kernel) in an
+environment whose effective bandwidth is ~20-40 GB/s (BASELINE.md). This
+backend packs FOUR triangle groups per 128-lane row:
+
+  lane layout of one stream row-set (8 sublanes x 128 lanes, "super"):
+    lanes [32g, 32g+31), g = 0..3:  record columns 0..30 of the 8 triangles
+        [super*32 + 8g, super*32 + 8g + 8) -- one triangle per sublane,
+        exactly the column layout documented in setup.py;
+    lane 32g+31 ("meta"): per-8-triangle-block walk metadata on sublanes
+        0..3: ty0 (clamped first tile row), n_trips (tile rows spanned, 0
+        for all-invalid blocks), tx0, tx1 (tile-column union) -- the kernel
+        reads these as scalars and zero-trips blocks outside its column.
+
+One super = 32 triangles in 4 KB = 128 B/triangle, 4x less HBM than the row
+layout, and it is emitted DIRECTLY from triangle setup's column vectors
+(setup.setup_cols) -- the (T, 40) intermediate never exists. DMA slabs are
+_SLAB supers (32 KB), amortizing the ~5-10 us fixed per-DMA cost this
+environment measures (CLAUDE.md) over 256 triangles.
+
+Scheduling is the strip walk's: one grid program per (frame, tile-column)
+owning full-height VMEM accumulator strips; per (mesh-row, column) the
+worklist stores the interval of supers whose triangles can touch the
+column, and each 8-triangle block's stamped (ty0, n_trips) bounds the tile
+rows walked. Everything else -- draw-order streaming, no gathers, no
+data-dependent shapes, max-id painter merge -- matches strips.py.
+
+Byte-identical to the jnp oracle (tiles.py): identical record column
+values (same setup_cols vectors), identical edge/interpolation formulas in
+the same f32 op order, identical one-hot winner select.
+
+Parity anchors: rasterization rules pinned by
+/root/reference/src/terrain/pipeline.rs:107-140 (CCW + back-cull, no depth
+buffer; painter order = last draw wins), gradient triangle
+/root/reference/src/lib.rs:73-78.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .setup import NUM_COLS, TILE_H, TILE_W
+
+PCOLS = 32        # lanes per triangle group (31 data columns + meta)
+GROUPS = 4        # triangle groups per 128-lane row
+GBLOCK = 8        # triangles per group block (one per sublane)
+SUPER_T = GROUPS * GBLOCK   # 32 triangles per 8-row "super" (4 KB)
+META = NUM_COLS   # meta lane offset within a group (= 31)
+_SLAB = 8         # supers per DMA slab: 8 * 4 KB = 32 KB, 256 triangles
+_RING = 2         # DMA ring depth
+
+
+def build_packed_stream(cols, bbox, row_size: int, width: int, height: int,
+                        tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Lay out setup columns as the packed stream + per-column worklists.
+
+    cols: tuple of NUM_COLS (T,) f32 vectors (setup.setup_cols).
+    bbox: (T, 4) int32 pixel bboxes (invalid encoding x1 < x0).
+    row_size: draw-order id stride of one mesh row (2*(G-1) for grid
+    meshes; T for arbitrary geometry, degenerating to one interval row).
+
+    Returns (stream (SUPERS_PAD*8, 128) f32, wl_start (NTX, ROWS) int32
+    absolute super index, wl_n (NTX, ROWS) int32, counts (NTX,) int32).
+    """
+    T = bbox.shape[0]
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    rows = -(-T // row_size)
+    spr = -(-row_size // SUPER_T)      # supers per mesh row (row-padded)
+    supers = rows * spr
+
+    def rowpad(a, fill):
+        a = jnp.concatenate(
+            [a, jnp.full((rows * row_size - T,), fill, a.dtype)])
+        a = a.reshape(rows, row_size)
+        return jnp.pad(a, ((0, 0), (0, spr * SUPER_T - row_size)),
+                       constant_values=fill)
+
+    def blockify(a):                   # -> (SUPERS, GROUPS, GBLOCK)
+        return a.reshape(supers, GROUPS, GBLOCK)
+
+    tx0 = bbox[:, 0] // tile_w
+    tx1 = bbox[:, 1] // tile_w
+    ty0 = bbox[:, 2] // tile_h
+    ty1 = bbox[:, 3] // tile_h
+    valid = bbox[:, 1] >= bbox[:, 0]
+
+    big = jnp.int32(1 << 20)
+    tx0b = blockify(rowpad(jnp.where(valid, tx0, big), big))
+    tx1b = blockify(rowpad(jnp.where(valid, tx1, -big), -big))
+    ty0b = blockify(rowpad(jnp.where(valid, ty0, big), big))
+    ty1b = blockify(rowpad(jnp.where(valid, ty1, -big), -big))
+
+    # per 8-triangle block unions (SUPERS, GROUPS)
+    b_tx0 = jnp.min(tx0b, axis=2)
+    b_tx1 = jnp.max(tx1b, axis=2)
+    b_any = b_tx1 >= b_tx0             # any valid triangle in the block
+    b_ty0c = jnp.clip(jnp.min(ty0b, axis=2), 0, nty - 1)
+    b_trips = jnp.clip(jnp.max(ty1b, axis=2), 0, nty - 1) - b_ty0c + 1
+    b_trips = jnp.where(b_any, jnp.maximum(b_trips, 0), 0)
+    b_tx0c = jnp.clip(b_tx0, 0, ntx - 1)
+    b_tx1c = jnp.clip(b_tx1, 0, ntx - 1)
+
+    # --- stream assembly. Row k of M is record column k per triangle; row
+    # PCOLS-1 carries the meta values at in-block ranks 0..3. One 4-D
+    # transpose then interleaves the four groups into lanes. (Stacking 128
+    # (SUPERS, 8) lane columns directly OOMs: XLA materializes each
+    # (N, 1)-shaped stack operand padded to 128 lanes -- 1 GB apiece at
+    # grid=1024. The (PCOLS, T) matrix has no pathological padding and the
+    # transpose reads/writes tile-local 32x32 chunks.)
+    meta_b = jnp.stack(
+        [b_ty0c.astype(jnp.float32), b_trips.astype(jnp.float32),
+         b_tx0c.astype(jnp.float32), b_tx1c.astype(jnp.float32)]
+        + [jnp.zeros((supers, GROUPS), jnp.float32)] * 4,
+        axis=-1)                                   # (SUPERS, GROUPS, 8)
+    tpad = supers * SUPER_T
+    # One matrix-level row pad (vs NUM_COLS per-column pads, which XLA
+    # materializes separately): stack the raw columns, pad the tail, then
+    # pad each mesh row to whole supers in one op.
+    M0 = jnp.stack(list(cols), axis=0)             # (NUM_COLS, T)
+    M0 = jnp.pad(M0, ((0, 0), (0, rows * row_size - T)))
+    M0 = M0.reshape(NUM_COLS, rows, row_size)
+    M0 = jnp.pad(M0, ((0, 0), (0, 0), (0, spr * SUPER_T - row_size)))
+    M = jnp.concatenate([M0.reshape(NUM_COLS, tpad),
+                         meta_b.reshape(1, tpad)], axis=0)  # (PCOLS, TPAD)
+    stream = (M.reshape(PCOLS, supers, GROUPS, GBLOCK)
+              .transpose(1, 3, 2, 0)               # (SUPERS, 8, GROUPS, PCOLS)
+              .reshape(supers * 8, 128))
+    supers_pad = max(-(-supers // _SLAB) * _SLAB, _SLAB)
+    stream = jnp.pad(stream, ((0, (supers_pad - supers) * 8), (0, 0)))
+
+    # --- per (column, mesh-row) super intervals (conservative min..max;
+    # stamped per-block tx ranges + coverage reject the extras)
+    s_tx0 = jnp.min(jnp.where(b_any, b_tx0, big), axis=1)    # (SUPERS,)
+    s_tx1 = jnp.max(jnp.where(b_any, b_tx1, -big), axis=1)
+    sidx = jnp.arange(spr, dtype=jnp.int32)[None, :]
+    t0r = s_tx0.reshape(rows, spr)
+    t1r = s_tx1.reshape(rows, spr)
+    starts = []
+    lens = []
+    for tx in range(ntx):
+        ov = (t0r <= tx) & (tx <= t1r)
+        slo = jnp.min(jnp.where(ov, sidx, spr), axis=1)      # (ROWS,)
+        shi = jnp.max(jnp.where(ov, sidx, -1), axis=1)
+        starts.append(jnp.arange(rows, dtype=jnp.int32) * spr + slo)
+        lens.append(jnp.maximum(shi - slo + 1, 0))
+    start_rc = jnp.stack(starts)                             # (NTX, ROWS)
+    n_rc = jnp.stack(lens).astype(jnp.int32)
+
+    nonempty = n_rc > 0
+    order = jnp.argsort(~nonempty, axis=1, stable=True)
+    wl_start = jnp.take_along_axis(start_rc, order, axis=1)
+    wl_n = jnp.take_along_axis(n_rc, order, axis=1)
+    counts = jnp.sum(nonempty.astype(jnp.int32), axis=1)     # (NTX,)
+    return stream, wl_start, wl_n, counts
+
+
+def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
+                   wls_ref, wln_ref,                 # VMEM (1,1,ROWS,1)
+                   stream_ref,                       # HBM packed stream
+                   v0_ref, v1_ref, v2_ref, mask_ref, # outputs (H8, 128)
+                   aid_ref, ahi_ref, a0_ref, a1_ref, a2_ref, aw_ref,
+                   scratch, sem,                     # (RING, SLAB*8, 128)
+                   *, ntx, spr, row_size, frame_supers, exact_ids):
+    prog = pl.program_id(0)                          # b * ntx + tx
+    tx = jax.lax.rem(prog, ntx)
+    frame = jax.lax.div(prog, ntx)
+    h8 = v0_ref.shape[0]
+
+    neg1 = jnp.full((h8, 128), -1.0, jnp.float32)
+    zero = jnp.zeros((h8, 128), jnp.float32)
+    aid_ref[...] = neg1
+    if exact_ids:
+        ahi_ref[...] = neg1
+    a0_ref[...] = zero
+    a1_ref[...] = zero
+    a2_ref[...] = zero
+    aw_ref[...] = jnp.ones((h8, 128), jnp.float32)
+
+    px = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+          .astype(jnp.float32) + (tx * 128).astype(jnp.float32) + 0.5)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, GBLOCK, 1), 1)
+    txf = tx.astype(jnp.float32)
+
+    frame_base = frame * frame_supers
+    max_slab = frame_supers - _SLAB   # last legal slab start (frame-local)
+
+    def dma(slab_sup, slot):
+        # One slab = _SLAB consecutive supers (32 KB). Starts are clamped to
+        # the frame, so slabs may re-read earlier supers past an entry's
+        # end -- harmless: re-evaluating any triangle anywhere is idempotent
+        # under the max-id painter rule (coverage is exact).
+        return pltpu.make_async_copy(
+            stream_ref.at[pl.ds((frame_base + slab_sup) * 8, _SLAB * 8), :],
+            scratch.at[slot], sem.at[slot])
+
+    n_entries = counts_ref[prog]
+
+    def entry_body(e, carry):
+        start = wls_ref[0, 0, e, 0]
+        n = wln_ref[0, 0, e, 0]
+        nslab = jax.lax.div(n + _SLAB - 1, _SLAB)
+
+        def slab_start(s):
+            return jnp.minimum(start + s * _SLAB, max_slab)
+
+        for k in range(_RING):
+            dma(slab_start(jnp.int32(k)), k).start()
+
+        def slab_body(s, carry2):
+            slot = jax.lax.rem(s, _RING)
+            dma(slab_start(s), slot).wait()
+            base_sup = slab_start(s)
+
+            def sup_body(c, carry3):
+                rec = scratch[slot, pl.ds(c * 8, 8), :]   # (8, 128)
+                sup = base_sup + c
+                r = jax.lax.div(sup, spr)
+                sup_id0 = r * row_size + (sup - r * spr) * SUPER_T
+                for g in range(GROUPS):
+                    _do_group(rec, g, sup_id0)
+                return carry3
+
+            def _do_group(rec, g, sup_id0):
+                base = g * PCOLS
+
+                # Hoist record-column broadcasts out of the trip loop
+                # (Mosaic does not reliably CSE dynamic-ref reads across
+                # fori iterations; same scheduling as strips.py).
+                C = [rec[:, base + k].reshape(1, GBLOCK, 1)
+                     for k in range(NUM_COLS)]
+
+                def col(k):
+                    return C[k]
+
+                ty0 = rec[0, base + META].astype(jnp.int32)
+                ntr = rec[1, base + META].astype(jnp.int32)
+                bx0 = rec[2, base + META]
+                bx1 = rec[3, base + META]
+                # Zero-trip blocks whose bbox union misses this column: a
+                # skipped block costs ~25 ns, a walked one ~500 ns.
+                ntr = jnp.where((bx0 <= txf) & (txf <= bx1), ntr, 0)
+
+                ids_i = sup_id0 + g * GBLOCK + lane_ids   # (1,8,1) int32
+                if exact_ids:
+                    id_hi = (ids_i >> 12).astype(jnp.float32)
+                    id_lo = (ids_i & 4095).astype(jnp.float32)
+                else:
+                    ids_f = ids_i.astype(jnp.float32)
+
+                def trip(t, carry4):
+                    ty = ty0 + t
+                    py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+                          .astype(jnp.float32)
+                          + (ty * 8).astype(jnp.float32) + 0.5)
+                    f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
+                    f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
+                    f2 = col(10) * (px - col(8)) - col(11) * (py - col(9))
+                    a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
+                    a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
+                    a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
+                    aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+                    # Clip-volume tests (setup.py "Near-plane clipping").
+                    az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+                    asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+                    cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                           & (col(24) > 0.0)
+                           & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
+
+                    sl = pl.ds(ty * 8, 8)
+                    if exact_ids:
+                        chi = jnp.where(cov, id_hi * jnp.ones_like(f0), -1.0)
+                        clo = jnp.where(cov, id_lo * jnp.ones_like(f0), -1.0)
+                        whi = jnp.max(chi, axis=1, keepdims=True)
+                        cand = (chi == whi) & cov
+                        wlo = jnp.max(jnp.where(cand, clo, -1.0), axis=1,
+                                      keepdims=True)
+                        sel = (cand & (clo == wlo)).astype(jnp.float32)
+                        cid_hi = whi[:, 0, :]
+                        cid = wlo[:, 0, :]
+                        acc_hi = ahi_ref[sl, :]
+                        acc_lo = aid_ref[sl, :]
+                        better = ((cid_hi > acc_hi)
+                                  | ((cid_hi == acc_hi) & (cid > acc_lo)))
+                        ahi_ref[sl, :] = jnp.where(better, cid_hi, acc_hi)
+                    else:
+                        cids = jnp.where(cov, ids_f * jnp.ones_like(f0), -1.0)
+                        wid = jnp.max(cids, axis=1, keepdims=True)
+                        sel = ((cids == wid) & cov).astype(jnp.float32)
+                        cid = wid[:, 0, :]
+                        acc_lo = aid_ref[sl, :]
+                        better = cid > acc_lo
+                    # one-hot select: exactly one term (ids unique), bit-exact
+                    c0 = jnp.sum(a0 * sel, axis=1)
+                    c1 = jnp.sum(a1 * sel, axis=1)
+                    c2 = jnp.sum(a2 * sel, axis=1)
+                    cw = jnp.sum(aw * sel, axis=1)
+                    aid_ref[sl, :] = jnp.where(better, cid, acc_lo)
+                    a0_ref[sl, :] = jnp.where(better, c0, a0_ref[sl, :])
+                    a1_ref[sl, :] = jnp.where(better, c1, a1_ref[sl, :])
+                    a2_ref[sl, :] = jnp.where(better, c2, a2_ref[sl, :])
+                    aw_ref[sl, :] = jnp.where(better, cw, aw_ref[sl, :])
+                    return carry4
+
+                jax.lax.fori_loop(0, ntr, trip, 0)
+
+            jax.lax.fori_loop(0, _SLAB, sup_body, 0)
+            dma(slab_start(s + _RING), slot).start()
+            return carry2
+
+        jax.lax.fori_loop(0, nslab, slab_body, 0)
+        # drain the ring (RING outstanding starts per entry)
+        for k in range(_RING):
+            dma(slab_start(jnp.int32(k)), k).wait()
+        return carry
+
+    jax.lax.fori_loop(0, n_entries, entry_body, 0)
+
+    if exact_ids:
+        covered = ahi_ref[...] >= 0.0
+    else:
+        covered = aid_ref[...] >= 0.0
+    aw = aw_ref[...]
+    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+    v0_ref[...] = a0_ref[...] * rcp
+    v1_ref[...] = a1_ref[...] * rcp
+    v2_ref[...] = a2_ref[...] * rcp
+    mask_ref[...] = covered.astype(jnp.float32)
+
+
+def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
+                                width: int, height: int,
+                                tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """B frames in one pallas_call over packed 128 B/tri streams.
+
+    cols_b: tuple of NUM_COLS (B, T) f32 arrays (vmapped setup_cols);
+    bbox_b: (B, T, 4). Returns (v0, v1, v2, mask) each (B, H, W). No
+    data-dependent shapes: one compile per (B, T, W, H, row_size).
+    """
+    B, T = bbox_b.shape[:2]
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    rows = -(-T // row_size)
+    spr = -(-row_size // SUPER_T)
+    supers = rows * spr
+    supers_pad = max(-(-supers // _SLAB) * _SLAB, _SLAB)
+    h8 = nty * tile_h
+    assert tile_h == 8 and tile_w == 128, "packed kernel is (8,128)-native"
+    assert h8 * 128 * 4 * 6 < 12 * 2**20, "framebuffer too tall for strips"
+
+    prep = jax.vmap(functools.partial(
+        build_packed_stream, row_size=row_size, width=width, height=height,
+        tile_h=tile_h, tile_w=tile_w))
+    stream_b, wls_b, wln_b, counts_b = prep(cols_b, bbox_b)
+    stream = stream_b.reshape(B * supers_pad * 8, 128)
+
+    exact_ids = T >= (1 << 24)
+    kernel = functools.partial(
+        _packed_kernel, ntx=ntx, spr=spr, row_size=row_size,
+        frame_supers=supers_pad, exact_ids=exact_ids)
+
+    out_shape = jax.ShapeDtypeStruct((B * h8, ntx * 128), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * ntx,),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, 1),
+                         lambda p, *pref: (jax.lax.div(p, ntx),
+                                           jax.lax.rem(p, ntx), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, 1),
+                         lambda p, *pref: (jax.lax.div(p, ntx),
+                                           jax.lax.rem(p, ntx), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),     # stream (HBM)
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((h8, 128),
+                         lambda p, *pref: (jax.lax.div(p, ntx),
+                                           jax.lax.rem(p, ntx)),
+                         memory_space=pltpu.VMEM) for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((h8, 128), jnp.float32),   # aid (lo)
+            pltpu.VMEM((h8, 128), jnp.float32),   # ahi
+            pltpu.VMEM((h8, 128), jnp.float32),   # a0
+            pltpu.VMEM((h8, 128), jnp.float32),   # a1
+            pltpu.VMEM((h8, 128), jnp.float32),   # a2
+            pltpu.VMEM((h8, 128), jnp.float32),   # aw
+            pltpu.VMEM((_RING, _SLAB * 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((_RING,)),
+        ],
+    )
+
+    v0, v1, v2, mask = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape, out_shape, out_shape),
+    )(counts_b.reshape(-1), wls_b[..., None], wln_b[..., None], stream)
+
+    def crop(a):
+        return a.reshape(B, h8, ntx * 128)[:, :height, :width]
+
+    return crop(v0), crop(v1), crop(v2), crop(mask) > 0.5
+
+
+def render_gbuffer_packed(cols, bbox, row_size: int,
+                          width: int, height: int,
+                          tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Single-frame packed strip-walk raster from setup columns."""
+    cols_b = tuple(c[None] for c in cols)
+    v0, v1, v2, m = render_gbuffer_packed_batch(
+        cols_b, bbox[None], row_size, width, height, tile_h, tile_w)
+    return v0[0], v1[0], v2[0], m[0]
+
+
+def render_gbuffer_packed_ref(cols, bbox, row_size: int,
+                              width: int, height: int,
+                              tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Pure-jnp executable specification of the packed kernel.
+
+    Consumes the exact same stream + worklists as the Pallas kernel and
+    applies the same walk in the same f32 op order, with lax loops and
+    dynamic_update_slice standing in for VMEM accumulator RMWs. Runs on any
+    backend (it is the CPU-mesh fallback for the dense multi-device path,
+    _parallel.render_spike_frames) and is the packed path's in-suite
+    oracle. Byte-identical to both the Pallas kernel and tiles.py.
+    """
+    assert tile_h == 8 and tile_w == 128
+    T = bbox.shape[0]
+    assert T < (1 << 24), "packed ref walker carries painter ids in one f32"
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    rows = -(-T // row_size)
+    spr = -(-row_size // SUPER_T)
+    h8 = nty * tile_h
+
+    stream, wl_start, wl_n, counts = build_packed_stream(
+        cols, bbox, row_size, width, height, tile_h, tile_w)
+
+    neg1 = jnp.full((h8, ntx * 128), -1.0, jnp.float32)
+    zero = jnp.zeros((h8, ntx * 128), jnp.float32)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, GBLOCK, 1), 1)
+
+    def do_column(tx, accs):
+        px = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+              .astype(jnp.float32) + jnp.float32(tx * 128) + 0.5)
+        txf = jnp.float32(tx)
+
+        def entry_body(e, accs):
+            start = wl_start[tx, e]
+            n = wl_n[tx, e]
+
+            def sup_body(i, accs):
+                sup = start + i
+                rec = jax.lax.dynamic_slice(stream, (sup * 8, 0), (8, 128))
+                r = sup // spr
+                sup_id0 = r * row_size + (sup - r * spr) * SUPER_T
+                for g in range(GROUPS):
+                    accs = _ref_group(rec, g, sup_id0, accs)
+                return accs
+
+            def _ref_group(rec, g, sup_id0, accs):
+                base = g * PCOLS
+
+                def col(k):
+                    return rec[:, base + k].reshape(1, GBLOCK, 1)
+
+                ty0 = rec[0, base + META].astype(jnp.int32)
+                ntr = rec[1, base + META].astype(jnp.int32)
+                bx0 = rec[2, base + META]
+                bx1 = rec[3, base + META]
+                ntr = jnp.where((bx0 <= txf) & (txf <= bx1), ntr, 0)
+                ids_f = (sup_id0 + g * GBLOCK + lane_ids).astype(jnp.float32)
+
+                def trip(t, accs):
+                    aid, A0, A1, A2, AW = accs
+                    ty = ty0 + t
+                    py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+                          .astype(jnp.float32)
+                          + (ty * 8).astype(jnp.float32) + 0.5)
+                    f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
+                    f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
+                    f2 = col(10) * (px - col(8)) - col(11) * (py - col(9))
+                    a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
+                    a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
+                    a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
+                    aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+                    az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+                    asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+                    cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                           & (col(24) > 0.0)
+                           & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
+                    cids = jnp.where(cov, ids_f * jnp.ones_like(f0), -1.0)
+                    wid = jnp.max(cids, axis=1, keepdims=True)
+                    sel = ((cids == wid) & cov).astype(jnp.float32)
+                    cid = wid[:, 0, :]
+                    c0 = jnp.sum(a0 * sel, axis=1)
+                    c1 = jnp.sum(a1 * sel, axis=1)
+                    c2 = jnp.sum(a2 * sel, axis=1)
+                    cw = jnp.sum(aw * sel, axis=1)
+
+                    at = (ty * 8, tx * 128)
+
+                    def upd(plane, val, better):
+                        cur = jax.lax.dynamic_slice(plane, at, (8, 128))
+                        return jax.lax.dynamic_update_slice(
+                            plane, jnp.where(better, val, cur), at)
+
+                    acc_lo = jax.lax.dynamic_slice(aid, at, (8, 128))
+                    better = cid > acc_lo
+                    return (jax.lax.dynamic_update_slice(
+                                aid, jnp.where(better, cid, acc_lo), at),
+                            upd(A0, c0, better), upd(A1, c1, better),
+                            upd(A2, c2, better), upd(AW, cw, better))
+
+                return jax.lax.fori_loop(0, ntr, trip, accs)
+
+            return jax.lax.fori_loop(0, n, sup_body, accs)
+
+        return jax.lax.fori_loop(0, counts[tx], entry_body, accs)
+
+    accs = (neg1, zero, zero, zero, jnp.ones((h8, ntx * 128), jnp.float32))
+    for tx in range(ntx):
+        accs = do_column(tx, accs)
+    aid, A0, A1, A2, AW = accs
+
+    covered = aid >= 0.0
+    rcp = 1.0 / jnp.where(jnp.abs(AW) < 1e-20, 1.0, AW)
+
+    def crop(a):
+        return a[:height, :width]
+
+    return (crop(A0 * rcp), crop(A1 * rcp), crop(A2 * rcp), crop(covered))

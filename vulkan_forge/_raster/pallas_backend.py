@@ -31,7 +31,7 @@ _CHUNK = 8  # triangles per inner-loop iteration (sublane width)
 
 
 def _kernel(counts_ref, recs_ref, v0_ref, v1_ref, v2_ref, mask_ref, *,
-            tile_h, tile_w, nty):
+            tile_h, tile_w, nty, fill_rule="inclusive"):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     # Batched frames ride the first grid axis: frame = ty // nty. Pixel
@@ -75,7 +75,12 @@ def _kernel(counts_ref, recs_ref, v0_ref, v1_ref, v2_ref, mask_ref, *,
         # Clip-volume tests (setup.py "Near-plane clipping").
         az = f0 * col(25) + f1 * col(26) + f2 * col(27)
         asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
-        cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0) & (col(24) > 0.0)
+        if fill_rule == "hw":
+            # Top-left rule: per-edge thresholds (setup.py BIAS*_COL).
+            edges = (f0 >= col(31)) & (f1 >= col(32)) & (f2 >= col(33))
+        else:
+            edges = (f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+        cov = (edges & (col(24) > 0.0)
                & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
 
         # Triangle ids as f32 (exact below 2^24): sublane s in this chunk
@@ -113,7 +118,8 @@ def _kernel(counts_ref, recs_ref, v0_ref, v1_ref, v2_ref, mask_ref, *,
 def render_gbuffer(records: jnp.ndarray, tile_lists: jnp.ndarray,
                    width: int, height: int,
                    tile_h: int = TILE_H, tile_w: int = TILE_W,
-                   counts: "jnp.ndarray | None" = None):
+                   counts: "jnp.ndarray | None" = None,
+                   fill_rule: str = "inclusive"):
     """Pallas G-buffer raster. Same contract as tiles.render_gbuffer."""
     nty = -(-height // tile_h)
     ntx = -(-width // tile_w)
@@ -133,7 +139,8 @@ def render_gbuffer(records: jnp.ndarray, tile_lists: jnp.ndarray,
     counts = counts.astype(jnp.int32).reshape(-1)
 
     out_shape = jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.float32)
-    kernel = functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w, nty=nty)
+    kernel = functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w, nty=nty,
+                               fill_rule=fill_rule)
 
     flops_per_px_tri = 44
     cost = pl.CostEstimate(

@@ -23,8 +23,8 @@ import numpy as np
 
 from .. import _formats
 from . import fragment, tiles, transform
-from .setup import (TILE_H, TILE_W, bin_triangles, clip_to_fb, tile_counts,
-                    tile_span_max, triangle_setup)
+from .setup import (TILE_H, TILE_W, bin_triangles, clip_to_fb, setup_cols,
+                    tile_counts, tile_span_max, triangle_setup)
 
 
 def backend_name() -> str:
@@ -100,34 +100,39 @@ def _static_bin_params(bbox, width, height):
 
 # ---------------- terrain ----------------
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "tile_h", "tile_w"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_h",
+                                             "tile_w", "fill_rule"))
 def _terrain_records(xyuv, indices, heights, view, proj, spacing, exaggeration,
-                     width, height, tile_h=TILE_H, tile_w=TILE_W):
+                     width, height, tile_h=TILE_H, tile_w=TILE_W,
+                     fill_rule="inclusive"):
     clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                           spacing, exaggeration)
     x, y, _z, w = clip_to_fb(clip, width, height)
-    records, bbox = triangle_setup(x, y, _z, w, varyings, indices, width, height)
+    records, bbox = triangle_setup(x, y, _z, w, varyings, indices,
+                                   width, height, fill_rule=fill_rule)
     return records, bbox
 
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "capacity", "span_x", "span_y", "tile_h", "tile_w",
-    "fs_mode", "use_pallas"))
+    "fs_mode", "use_pallas", "fill_rule"))
 def _terrain_render_from_records(records, bbox, heights, lut, h_min, h_max,
                                  exposure, sun_dir, spacing, exaggeration,
                                  width, height, capacity, span_x=4, span_y=4,
                                  tile_h=TILE_H, tile_w=TILE_W,
-                                 fs_mode="shipped", use_pallas=False):
+                                 fs_mode="shipped", use_pallas=False,
+                                 fill_rule="inclusive"):
     binning = bin_triangles(bbox, width, height, capacity, tile_h, tile_w,
                             span_x=span_x, span_y=span_y)
     if use_pallas:
         from . import pallas_backend
         v0, v1, v2, mask = pallas_backend.render_gbuffer(
             records, binning.tile_lists, width, height, tile_h, tile_w,
-            counts=binning.counts)
+            counts=binning.counts, fill_rule=fill_rule)
     else:
         v0, v1, v2, mask = tiles.render_gbuffer(
-            records, binning.tile_lists, width, height, tile_h, tile_w)
+            records, binning.tile_lists, width, height, tile_h, tile_w,
+            fill_rule=fill_rule)
     if fs_mode == "shipped":
         h_range = h_max - h_min
         return fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure, sun_dir)
@@ -173,10 +178,11 @@ def _segment_axis_estimate(bbox, perm_c, width, height, row_size_r, row_size_c):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "row_size", "fs_mode"))
+    "width", "height", "row_size", "fs_mode", "fill_rule"))
 def _terrain_render_strips(records, bbox, heights, lut, h_min, h_max,
                            exposure, sun_dir, spacing, exaggeration,
-                           width, height, row_size, fs_mode="shipped"):
+                           width, height, row_size, fs_mode="shipped",
+                           fill_rule="inclusive"):
     """Strip-walk pallas path over draw-order records (strips.py).
 
     No data-dependent shapes: no valid-count host sync, no capacity
@@ -184,7 +190,7 @@ def _terrain_render_strips(records, bbox, heights, lut, h_min, h_max,
     """
     from . import strips
     v0, v1, v2, mask = strips.render_gbuffer_strips(
-        records, bbox, row_size, width, height)
+        records, bbox, row_size, width, height, fill_rule=fill_rule)
     if fs_mode == "shipped":
         h_range = h_max - h_min
         return fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure, sun_dir)
@@ -194,9 +200,74 @@ def _terrain_render_strips(records, bbox, heights, lut, h_min, h_max,
 
 
 def _strips_fit(height: int) -> bool:
-    """Six f32 accumulator strips must fit VMEM (strips.py)."""
+    """Six f32 accumulator strips must fit VMEM (strips.py / packed.py)."""
     h8 = -(-height // TILE_H) * TILE_H
     return h8 * 128 * 4 * 6 < 12 * 2**20
+
+
+# ---------------- packed-stream dense path (round 3 default) ----------------
+
+def _terrain_cols(xyuv, indices, heights, view, proj, spacing, exaggeration,
+                  width, height, fs_mode):
+    """Vertex transform + triangle setup, returning the raw column vectors
+    (no (T, 40) record materialization -- the packed stream is emitted
+    straight from these)."""
+    if fs_mode == "shipped":
+        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+    else:
+        x = xyuv[:, 0]
+        z = xyuv[:, 1]
+        sp = jnp.maximum(spacing, 1e-8)
+        h = transform.sample_height_nearest(heights, xyuv[:, 2:4])
+        world = jnp.stack([x * sp, h * exaggeration, z * sp,
+                           jnp.ones_like(x)], axis=-1)
+        clip = (world @ view.T) @ proj.T
+        varyings = jnp.stack([h, xyuv[:, 2], xyuv[:, 3]], axis=-1)
+    xf, yf, _z, w = clip_to_fb(clip, width, height)
+    cols, bbox = setup_cols(xf, yf, _z, w, varyings, indices, width, height)
+    return tuple(cols), bbox
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "row_size", "fs_mode", "use_pallas"))
+def _terrain_render_batch_packed(xyuv, indices, heights, views, projs, lut,
+                                 h_min, h_max, exposure, sun_dir, spacing,
+                                 exaggeration, width, height, row_size,
+                                 fs_mode="shipped", nspacing=None,
+                                 use_pallas=True):
+    """Batched packed-stream strip-walk path: B frames in one dispatch, one
+    pallas_call, 128 B/triangle of HBM traffic (4x less than the strips
+    row-record stream), no data-dependent shapes. The round-3 dense-mesh
+    default (docs/NEXT.md levers 1-2). use_pallas=False runs the jnp
+    reference walker over the identical stream (CPU meshes / oracle)."""
+    from . import packed
+
+    def prep(view, proj):
+        return _terrain_cols(xyuv, indices, heights, view, proj, spacing,
+                             exaggeration, width, height, fs_mode)
+
+    cols_b, bbox_b = jax.vmap(prep)(views, projs)
+    if use_pallas:
+        v0, v1, v2, mask = packed.render_gbuffer_packed_batch(
+            cols_b, bbox_b, row_size, width, height)
+    else:
+        v0, v1, v2, mask = jax.vmap(
+            lambda cb, bb: packed.render_gbuffer_packed_ref(
+                cb, bb, row_size, width, height)
+        )(cols_b, bbox_b)
+    if fs_mode == "shipped":
+        h_range = h_max - h_min
+        return jax.vmap(
+            lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
+                                                   exposure, sun_dir)
+        )(v0, v1, v2, mask)
+    nsp = spacing if nspacing is None else nspacing
+    return jax.vmap(
+        lambda a, b, c, m: fragment.terrain_fs_extended(
+            a, b, c, m, lut, heights, h_min, h_max, exposure, sun_dir,
+            nsp, exaggeration)
+    )(v0, v1, v2, mask)
 
 
 # ---------------- candidate-deposit dense path ----------------
@@ -356,9 +427,11 @@ def _terrain_render_segments(records, bbox, heights, lut, h_min, h_max,
                                         spacing, exaggeration)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "analytic"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "analytic",
+                                             "fill_rule"))
 def _terrain_records_extended(xyuv, indices, heights, view, proj, spacing,
-                              exaggeration, width, height, analytic=False):
+                              exaggeration, width, height, analytic=False,
+                              fill_rule="inclusive"):
     """Records with (h, u, v) varyings for the extended fragment pipeline."""
     x = xyuv[:, 0]
     z = xyuv[:, 1]
@@ -371,7 +444,8 @@ def _terrain_records_extended(xyuv, indices, heights, view, proj, spacing,
     clip = (world @ view.T) @ proj.T
     varyings = jnp.stack([h, xyuv[:, 2], xyuv[:, 3]], axis=-1)
     xf, yf, _z, w = clip_to_fb(clip, width, height)
-    records, bbox = triangle_setup(xf, yf, _z, w, varyings, indices, width, height)
+    records, bbox = triangle_setup(xf, yf, _z, w, varyings, indices,
+                                   width, height, fill_rule=fill_rule)
     return records, bbox
 
 
@@ -401,21 +475,46 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     exposure = jnp.float32(exposure)
     sun_dir = jnp.asarray(sun_dir, jnp.float32)
 
-    if fs_mode == "extended":
-        records, bbox = _terrain_records_extended(
-            xyuv, indices, heights, view, proj, spacing, exaggeration,
-            width, height)
-    else:
-        records, bbox = _terrain_records(
-            xyuv, indices, heights, view, proj, spacing, exaggeration,
-            width, height)
-
     # Texel world step used only for the extended FS's fwd-diff normals; the
     # mesh may already be in world units (spacing=1) while normals still
     # need the true DEM spacing.
     nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
     T = int(indices.shape[0])
-    dense_mode = os.environ.get("VF_DENSE", "strips")
+    dense_mode = os.environ.get("VF_DENSE", "packed")
+    # Hardware fill-rule mode (VF_FILL_RULE=hw): 8.8 snap + top-left rule
+    # (setup.py). Supported on the jnp oracle, the list kernel and the
+    # strips kernel; hw records carry bias columns the packed/visits/mxu
+    # streams have no room for, so dense hw renders route to strips.
+    fill_rule = os.environ.get("VF_FILL_RULE", "inclusive")
+    if fill_rule not in ("inclusive", "hw"):
+        fill_rule = "inclusive"
+    if fill_rule == "hw":
+        dense_mode = "strips"
+
+    if (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "packed"
+            and _strips_fit(height)):
+        # Dense meshes, round-3 default: packed 128 B/tri stream emitted
+        # straight from setup columns + strip-walk kernel with 32 KB slab
+        # DMAs (packed.py). No (T, 40) records, no host roundtrips, no
+        # data-dependent recompiles.
+        rs = int(row_size) if row_size else T
+        img_u32 = _terrain_render_batch_packed(
+            xyuv, indices, heights, view[None], proj[None], lut, h_min,
+            h_max, exposure, sun_dir, spacing, exaggeration, width, height,
+            rs, fs_mode=fs_mode, nspacing=nsp)[0]
+        if as_device:
+            return img_u32
+        return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
+
+    if fs_mode == "extended":
+        records, bbox = _terrain_records_extended(
+            xyuv, indices, heights, view, proj, spacing, exaggeration,
+            width, height, fill_rule=fill_rule)
+    else:
+        records, bbox = _terrain_records(
+            xyuv, indices, heights, view, proj, spacing, exaggeration,
+            width, height, fill_rule=fill_rule)
+
     if (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "visits"
             and _deposit_fit(T, height)):
         # Dense meshes: flat visit-list strip kernel -- only active
@@ -459,8 +558,9 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
         rs = int(row_size) if row_size else T
         img_u32 = _terrain_render_strips(
             records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
-            nsp, exaggeration, width, height, rs, fs_mode=fs_mode)
-    elif be == "pallas" and T > SEGMENT_THRESHOLD:
+            nsp, exaggeration, width, height, rs, fs_mode=fs_mode,
+            fill_rule=fill_rule)
+    elif be == "pallas" and T > SEGMENT_THRESHOLD and fill_rule != "hw":
         # Very tall framebuffers (H > ~2048): the strip accumulators don't
         # fit VMEM; fall back to the round-1 segment-walk kernel over
         # culled+compacted records with axis adaptation.
@@ -484,7 +584,8 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
         img_u32 = _terrain_render_from_records(
             records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
             nsp, exaggeration, width, height, capacity, span_x, span_y,
-            fs_mode=fs_mode, use_pallas=(be == "pallas"))
+            fs_mode=fs_mode, use_pallas=(be == "pallas"),
+            fill_rule=fill_rule)
     if as_device:
         return img_u32
     return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
@@ -675,12 +776,14 @@ _TRI_COLOR = np.array([[1.0, 0.2, 0.2], [0.2, 1.0, 0.2], [0.2, 0.2, 1.0]],
                       dtype=np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "use_pallas"))
-def _triangle_render(width, height, use_pallas=False):
+@functools.partial(jax.jit, static_argnames=("width", "height", "use_pallas",
+                                             "fill_rule"))
+def _triangle_render(width, height, use_pallas=False, fill_rule="inclusive"):
     clip, colors = transform.triangle_vs(jnp.asarray(_TRI_POS), jnp.asarray(_TRI_COLOR))
     x, y, _z, w = clip_to_fb(clip, width, height)
     indices = jnp.array([[0, 1, 2]], jnp.int32)
-    records, bbox = triangle_setup(x, y, _z, w, colors, indices, width, height)
+    records, bbox = triangle_setup(x, y, _z, w, colors, indices, width, height,
+                                   fill_rule=fill_rule)
     # One triangle spanning the whole screen: span covers every tile.
     binning = bin_triangles(bbox, width, height, capacity=8,
                             span_x=-(-width // TILE_W),
@@ -689,10 +792,10 @@ def _triangle_render(width, height, use_pallas=False):
         from . import pallas_backend
         v0, v1, v2, mask = pallas_backend.render_gbuffer(
             records, binning.tile_lists, width, height,
-            counts=binning.counts)
+            counts=binning.counts, fill_rule=fill_rule)
     else:
         v0, v1, v2, mask = tiles.render_gbuffer(
-            records, binning.tile_lists, width, height)
+            records, binning.tile_lists, width, height, fill_rule=fill_rule)
     return fragment.triangle_fs(v0, v1, v2, mask)
 
 
@@ -701,7 +804,11 @@ def render_triangle_u8(width: int, height: int,
                        as_device: bool = False) -> np.ndarray:
     """Deterministic gradient triangle -> (H, W, 4) uint8."""
     be = backend or backend_name()
-    img_u32 = _triangle_render(width, height, use_pallas=(be == "pallas"))
+    fill_rule = os.environ.get("VF_FILL_RULE", "inclusive")
+    if fill_rule not in ("inclusive", "hw"):
+        fill_rule = "inclusive"
+    img_u32 = _triangle_render(width, height, use_pallas=(be == "pallas"),
+                               fill_rule=fill_rule)
     if as_device:
         return img_u32
     return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))

@@ -107,15 +107,50 @@ def clip_to_fb(clip: jnp.ndarray, width: int, height: int):
 _W_EPS = 1e-8   # "in front of camera" threshold on clip w (hardware: w > 0)
 
 
-def triangle_setup(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
-                   width: int, height: int):
-    """Build (T+1, REC_WIDTH) triangle records (near/far clipping baked in).
+# Number of live record columns (0..30). Column layout in the docstring
+# above; REC_WIDTH pads row records to 40 for the spare stamped columns the
+# strips/segments streams use. The packed stream (packed.py) stores exactly
+# NUM_COLS data columns plus one metadata column per 8-triangle group.
+NUM_COLS = 31
 
-    x_fb, y_fb, z_ndc, w_clip: (N,) per-vertex framebuffer coords, NDC z
-    (z/w as produced by clip_to_fb) and clip w.
-    varyings: (N, 3) per-vertex attributes (perspective-interpolated).
-    indices: (T, 3) int32 vertex indices (triangle list order == draw order).
+# Hardware fill-rule mode (fill_rule="hw"): vertices snap to the 8.8
+# subpixel grid and records carry three per-edge coverage thresholds at
+# columns 31..33 -- 0.0 for top-left edges (e == 0 covered) and _HW_BIAS
+# for the rest (e == 0 excluded), reproducing Vulkan's fixed-point
+# top-left rule (spec 25.8; the reference inherits it via wgpu fixed
+# function, src/terrain/pipeline.rs:107-140). Snapped edge functions are
+# lattice-valued (multiples of 2^-16), so "e > 0" == "e >= 2^-16" exactly;
+# coverage is bit-identical to the int64 oracle (hw_oracle.py) whenever
+# the f32 edge products stay exact (|dy*(px-ax)| < 256 px^2 -- all dense/
+# moderate terrain meshes; quantified for large triangles by
+# python/tools/parity_report.py).
+BIAS0_COL, BIAS1_COL, BIAS2_COL = 31, 32, 33
+_HW_SNAP = 256.0          # 8.8 fixed point (Vulkan minimum subpixel bits)
+_HW_BIAS = 2.0 ** -16     # one lattice step of the snapped edge function
+
+
+def setup_cols(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
+               width: int, height: int, fill_rule: str = "inclusive"):
+    """Core triangle setup: returns (cols, bbox).
+
+    cols: list of NUM_COLS (T,) f32 vectors -- the record columns documented
+    in the module docstring (0..30). bbox: (T, 4) int32 pixel bbox with the
+    invalid encoding (x1 < x0). ``triangle_setup`` stacks these into the
+    (T+1, REC_WIDTH) row layout; ``packed.build_packed_stream`` lays them
+    out 4-triangle-groups-per-row at 128 B/triangle. Both consumers see the
+    exact same f32 values, so all backends stay byte-identical.
+
+    fill_rule "inclusive" (default): all edges inclusive (f >= 0), the
+    shipped deterministic rule. "hw": 8.8 snap + top-left rule; appends
+    three per-edge bias columns (see BIAS0_COL above).
     """
+    if fill_rule == "hw":
+        # Snap to the subpixel grid with round-half-even (matches the
+        # oracle's int(round(x * 256))). 1/256 is a power of two: the snap
+        # is exact in f32 for |x| < 2^15 px.
+        x_fb = jnp.round(x_fb * _HW_SNAP) * jnp.float32(1.0 / _HW_SNAP)
+        y_fb = jnp.round(y_fb * _HW_SNAP) * jnp.float32(1.0 / _HW_SNAP)
+
     v0, v1, v2 = indices[:, 0], indices[:, 1], indices[:, 2]
 
     # Pack all per-vertex data into one matrix and gather ROWS per corner:
@@ -250,15 +285,51 @@ def triangle_setup(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
     cols += [rw0 * t0, rw1 * t1, rw2 * t2, valid.astype(jnp.float32)]
     cols += [zn0 * t0, zn1 * t1, zn2 * t2]         # near-clip functional
     cols += [t0, t1, t2]                           # constant-1 (far clip)
-    zero_col = jnp.zeros_like(x0)
+
+    if fill_rule == "hw":
+        # Top-left classification per directed edge of the front-facing
+        # triangle (hw_oracle._is_top_left semantics, on snapped coords):
+        # horizontal edges are "top" iff they run rightward, others are
+        # "left" iff they run upward (y-down coords). Non-top-left edges
+        # get bias 2^-16 (exclude e == 0). w-crossing triangles keep the
+        # inclusive rule (bias 0): hardware clips them into sub-polygons
+        # whose shared diagonals never tie anyway.
+        bias = jnp.float32(_HW_BIAS)
+        zerob = jnp.zeros_like(x0)
+
+        def edge_bias(ax, ay, bx, by):
+            topleft = jnp.where(ay == by, bx > ax, by < ay)
+            return jnp.where(topleft | ~clean, zerob, bias)
+
+        cols += [edge_bias(x1, y1, x2, y2),        # edge opp v0
+                 edge_bias(x2, y2, x0, y0),        # edge opp v1
+                 edge_bias(x0, y0, x1, y1)]        # edge opp v2
+
+    bbox = jnp.stack([jnp.where(valid, px0, width), jnp.where(valid, px1, -1),
+                      jnp.where(valid, py0, height), jnp.where(valid, py1, -1)], axis=-1)
+    return cols, bbox
+
+
+def triangle_setup(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
+                   width: int, height: int, fill_rule: str = "inclusive"):
+    """Build (T+1, REC_WIDTH) triangle records (near/far clipping baked in).
+
+    x_fb, y_fb, z_ndc, w_clip: (N,) per-vertex framebuffer coords, NDC z
+    (z/w as produced by clip_to_fb) and clip w.
+    varyings: (N, 3) per-vertex attributes (perspective-interpolated).
+    indices: (T, 3) int32 vertex indices (triangle list order == draw order).
+    fill_rule "hw" adds the snapped top-left coverage biases at columns
+    31..33 (see setup_cols).
+    """
+    cols, bbox = setup_cols(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
+                            width, height, fill_rule=fill_rule)
+    cols = list(cols)
+    zero_col = jnp.zeros_like(cols[0])
     cols += [zero_col] * (REC_WIDTH - len(cols))
     rec = jnp.stack(cols, axis=-1)  # (T, REC_WIDTH), one fused assembly
 
     # Sentinel row T: all zeros => valid flag 0 => never covers.
     records = jnp.concatenate([rec, jnp.zeros((1, REC_WIDTH), jnp.float32)], axis=0)
-
-    bbox = jnp.stack([jnp.where(valid, px0, width), jnp.where(valid, px1, -1),
-                      jnp.where(valid, py0, height), jnp.where(valid, py1, -1)], axis=-1)
     return records, bbox
 
 

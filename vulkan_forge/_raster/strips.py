@@ -159,7 +159,7 @@ def _strip_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                   aid_ref, ahi_ref, a0_ref, a1_ref, a2_ref, aw_ref,
                   scratch, sem,                     # (RING, 8, REC) + sems
                   *, ntx, rows, bpr, row_size, frame_blocks,
-                  exact_ids):
+                  exact_ids, fill_rule="inclusive"):
     prog = pl.program_id(0)                          # b * ntx + tx
     tx = jax.lax.rem(prog, ntx)
     frame = jax.lax.div(prog, ntx)
@@ -225,7 +225,8 @@ def _strip_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
             # reliably CSE dynamic-ref reads across fori iterations (the
             # measured ~2.6x gap between the visit cost and its op-count
             # floor, docs/NEXT.md). Pure scheduling: byte-identical.
-            C = [rec[:, k].reshape(1, 8, 1) for k in range(31)]
+            ncols = 34 if fill_rule == "hw" else 31
+            C = [rec[:, k].reshape(1, 8, 1) for k in range(ncols)]
 
             def col(k):
                 return C[k]
@@ -257,8 +258,12 @@ def _strip_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                 # Clip-volume tests (setup.py "Near-plane clipping").
                 az = f0 * col(25) + f1 * col(26) + f2 * col(27)
                 asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
-                cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
-                       & (col(24) > 0.0)
+                if fill_rule == "hw":
+                    edges = ((f0 >= col(31)) & (f1 >= col(32))
+                             & (f2 >= col(33)))
+                else:
+                    edges = (f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                cov = (edges & (col(24) > 0.0)
                        & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
 
                 sl = pl.ds(ty * 8, 8)
@@ -321,16 +326,19 @@ def _strip_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
 
 def render_gbuffer_strips(records, bbox, row_size: int,
                           width: int, height: int,
-                          tile_h: int = TILE_H, tile_w: int = TILE_W):
+                          tile_h: int = TILE_H, tile_w: int = TILE_W,
+                          fill_rule: str = "inclusive"):
     """Single-frame strip-walk raster straight from draw-order records."""
     v0, v1, v2, m = render_gbuffer_strips_batch(
-        records[None], bbox[None], row_size, width, height, tile_h, tile_w)
+        records[None], bbox[None], row_size, width, height, tile_h, tile_w,
+        fill_rule=fill_rule)
     return v0[0], v1[0], v2[0], m[0]
 
 
 def render_gbuffer_strips_batch(records_b, bbox_b, row_size: int,
                                 width: int, height: int,
-                                tile_h: int = TILE_H, tile_w: int = TILE_W):
+                                tile_h: int = TILE_H, tile_w: int = TILE_W,
+                                fill_rule: str = "inclusive"):
     """B frames in one pallas_call, grid (B*NTX,).
 
     records_b: (B, T+1, REC_WIDTH) draw-order records; bbox_b: (B, T, 4).
@@ -359,7 +367,7 @@ def render_gbuffer_strips_batch(records_b, bbox_b, row_size: int,
     exact_ids = T >= (1 << 24)
     kernel = functools.partial(
         _strip_kernel, ntx=ntx, rows=rows, bpr=bpr, row_size=row_size,
-        frame_blocks=tb_pad, exact_ids=exact_ids)
+        frame_blocks=tb_pad, exact_ids=exact_ids, fill_rule=fill_rule)
 
     out_shape = jax.ShapeDtypeStruct((B * h8, ntx * 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -19,11 +19,14 @@ import jax.numpy as jnp
 from .setup import REC_WIDTH, TILE_H, TILE_W
 
 
-def _raster_tile(tile_recs: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
+def _raster_tile(tile_recs: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray,
+                 fill_rule: str = "inclusive"):
     """Rasterize one tile.
 
     tile_recs: (C, REC_WIDTH) records (sentinel rows have valid=0).
     px, py: (TH, TW) pixel-center coordinates.
+    fill_rule "hw": edges compare against the per-edge top-left biases at
+    record columns 31..33 (setup.py BIAS*_COL) instead of 0.
     Returns (var0, var1, var2, mask) each (TH, TW) f32 / bool.
     """
     C = tile_recs.shape[0]
@@ -43,7 +46,11 @@ def _raster_tile(tile_recs: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
         # screen-linear functionals -- see setup.py "Near-plane clipping".
         az = f0 * r[25] + f1 * r[26] + f2 * r[27]
         asum = f0 * r[28] + f1 * r[29] + f2 * r[30]
-        cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0) & (r[24] > 0.0)
+        if fill_rule == "hw":
+            edges = (f0 >= r[31]) & (f1 >= r[32]) & (f2 >= r[33])
+        else:
+            edges = (f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+        cov = (edges & (r[24] > 0.0)
                & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
         return (jnp.where(cov, a0, acc0), jnp.where(cov, a1, acc1),
                 jnp.where(cov, a2, acc2), jnp.where(cov, aw, accw),
@@ -58,7 +65,8 @@ def _raster_tile(tile_recs: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray):
 
 def render_gbuffer(records: jnp.ndarray, tile_lists: jnp.ndarray,
                    width: int, height: int,
-                   tile_h: int = TILE_H, tile_w: int = TILE_W):
+                   tile_h: int = TILE_H, tile_w: int = TILE_W,
+                   fill_rule: str = "inclusive"):
     """Run the tile raster over the whole framebuffer (jnp backend).
 
     records: (T+1, REC_WIDTH); tile_lists: (NTY*NTX, C).
@@ -81,7 +89,7 @@ def render_gbuffer(records: jnp.ndarray, tile_lists: jnp.ndarray,
         py = base_py + tyi.astype(jnp.float32) * tile_h
         px = jnp.broadcast_to(px, (tile_h, tile_w))
         py = jnp.broadcast_to(py, (tile_h, tile_w))
-        return _raster_tile(recs, px, py)
+        return _raster_tile(recs, px, py, fill_rule=fill_rule)
 
     v0, v1, v2, m = jax.vmap(one)(tile_recs, ty, tx)   # (NT, TH, TW)
 

@@ -1,41 +1,50 @@
 """Input validators for the public API.
 
-Behavior parity with the reference shim (python/vulkan_forge/_validate.py:1-40):
-same bounds (dims <= 8192, grid in [2, 4096]) and identical error messages.
+The *error strings and bounds* are a pinned behavior contract with the
+reference shim (python/vulkan_forge/_validate.py:1-40: dims <= 8192, grid in
+[2, 4096], .png suffix + existing parent directory) -- tests assert the exact
+messages. The implementation below is this package's own: a small
+coerce-then-check helper driving every rule, rather than per-field bespoke
+branches.
 """
 from __future__ import annotations
 
 from pathlib import Path
 from typing import Tuple
 
-_MAX_DIM = 8192  # conservative guardrail for headless targets
+MAX_DIM = 8192
+GRID_MIN, GRID_MAX = 2, 4096
 
 
-def _as_int(name: str, v) -> int:
+def _int_field(value, name: str, checks) -> int:
+    """Coerce ``value`` to int, then apply (predicate, message) rules in
+    order, raising ValueError with the pinned message on first failure."""
     try:
-        i = int(v)
-    except Exception as e:
-        raise ValueError(f"{name} must be an integer, got {type(v).__name__}") from e
-    return i
+        n = int(value)
+    except Exception as err:
+        raise ValueError(
+            f"{name} must be an integer, got {type(value).__name__}") from err
+    for pred, message in checks:
+        if not pred(n):
+            raise ValueError(message)
+    return n
 
 
 def size_wh(width, height) -> Tuple[int, int]:
-    w = _as_int("width", width)
-    h = _as_int("height", height)
-    if w <= 0 or h <= 0:
-        raise ValueError("width and height must be > 0")
-    if w > _MAX_DIM or h > _MAX_DIM:
-        raise ValueError(f"width/height must be <= {_MAX_DIM}")
-    return w, h
+    dims = []
+    for name, v in (("width", width), ("height", height)):
+        dims.append(_int_field(v, name, (
+            (lambda n: n > 0, "width and height must be > 0"),
+            (lambda n: n <= MAX_DIM, f"width/height must be <= {MAX_DIM}"),
+        )))
+    return dims[0], dims[1]
 
 
 def grid(n) -> int:
-    g = _as_int("grid", n)
-    if g < 2:
-        raise ValueError("grid must be >= 2")
-    if g > 4096:
-        raise ValueError("grid must be <= 4096")
-    return g
+    return _int_field(n, "grid", (
+        (lambda g: g >= GRID_MIN, f"grid must be >= {GRID_MIN}"),
+        (lambda g: g <= GRID_MAX, f"grid must be <= {GRID_MAX}"),
+    ))
 
 
 def png_path(p: "str | Path") -> str:
