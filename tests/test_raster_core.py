@@ -98,6 +98,34 @@ def test_packed_backend_identical(monkeypatch):
     np.testing.assert_array_equal(packed_img, s2.render_rgba())
 
 
+def test_hw_fill_rule_backends_identical(monkeypatch):
+    # VF_FILL_RULE=hw must produce identical pixels on the pallas backends
+    # (list kernel; strips for dense routes) and the jnp oracle.
+    h = (np.outer(np.sin(np.linspace(0, 2, 32)),
+                  np.cos(np.linspace(0, 3, 32)))).astype(np.float32)
+    monkeypatch.setenv("VF_FILL_RULE", "hw")
+    imgs = {}
+    for be in ("jnp", "pallas"):
+        monkeypatch.setenv("VF_BACKEND", be)
+        s = vf.Scene(160, 120, 32, "viridis")
+        s.set_height_from_r32f(h)
+        imgs[be] = s.render_rgba()
+    np.testing.assert_array_equal(imgs["jnp"], imgs["pallas"])
+    # dense route (strips kernel carries the bias columns)
+    monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", 1)
+    monkeypatch.setenv("VF_BACKEND", "pallas")
+    s = vf.Scene(160, 120, 32, "viridis")
+    s.set_height_from_r32f(h)
+    np.testing.assert_array_equal(imgs["jnp"], s.render_rgba())
+    # and the rule actually differs from the shipped inclusive rule
+    monkeypatch.setenv("VF_FILL_RULE", "inclusive")
+    monkeypatch.setenv("VF_BACKEND", "jnp")
+    monkeypatch.setattr(pipeline, "SEGMENT_THRESHOLD", 200_000)
+    s2 = vf.Scene(160, 120, 32, "viridis")
+    s2.set_height_from_r32f(h)
+    assert not np.array_equal(imgs["jnp"], s2.render_rgba())
+
+
 def test_strips_batch_matches_single():
     # Batched strip path (one pallas_call for B frames) must equal B
     # single-frame renders exactly.

@@ -41,6 +41,7 @@ buffer; painter order = last draw wins), gradient triangle
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +55,10 @@ GROUPS = 4        # triangle groups per 128-lane row
 GBLOCK = 8        # triangles per group block (one per sublane)
 SUPER_T = GROUPS * GBLOCK   # 32 triangles per 8-row "super" (4 KB)
 META = NUM_COLS   # meta lane offset within a group (= 31)
-_SLAB = 8         # supers per DMA slab: 8 * 4 KB = 32 KB, 256 triangles
+# Supers per DMA slab (default 8 = 32 KB, 256 triangles). VF_PACKED_SLAB
+# is an experiment knob (read at import): larger slabs amortize the
+# ~5-10 us fixed per-DMA cost this environment measures.
+_SLAB = int(os.environ.get("VF_PACKED_SLAB", "8"))
 _RING = 2         # DMA ring depth
 
 
@@ -169,7 +173,8 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                    v0_ref, v1_ref, v2_ref, mask_ref, # outputs (H8, 128)
                    aid_ref, ahi_ref, a0_ref, a1_ref, a2_ref, aw_ref,
                    scratch, sem,                     # (RING, SLAB*8, 128)
-                   *, ntx, spr, row_size, frame_supers, exact_ids):
+                   *, ntx, spr, row_size, frame_supers, exact_ids,
+                   merged=False):
     prog = pl.program_id(0)                          # b * ntx + tx
     tx = jax.lax.rem(prog, ntx)
     frame = jax.lax.div(prog, ntx)
@@ -225,9 +230,95 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                 sup = base_sup + c
                 r = jax.lax.div(sup, spr)
                 sup_id0 = r * row_size + (sup - r * spr) * SUPER_T
-                for g in range(GROUPS):
-                    _do_group(rec, g, sup_id0)
+                if merged and not exact_ids:
+                    _do_super_merged(rec, sup_id0)
+                else:
+                    for g in range(GROUPS):
+                        _do_group(rec, g, sup_id0)
                 return carry3
+
+            def _do_super_merged(rec, sup_id0):
+                # All 4 groups of a super walked in ONE trip loop over the
+                # union of their tile-row spans: the per-trip py build,
+                # accumulator RMW and loop overhead are paid once per
+                # super instead of once per 8-triangle block. Groups of a
+                # dense-mesh super are consecutive draw-order triangles,
+                # so their y spans nearly coincide (little wasted eval);
+                # coverage stays exact, so the merge is byte-identical.
+                big = jnp.int32(1 << 20)
+                ty0s = big
+                tyend = jnp.int32(0)
+                for g in range(GROUPS):
+                    base = g * PCOLS
+                    ty0g = rec[0, base + META].astype(jnp.int32)
+                    ntrg = rec[1, base + META].astype(jnp.int32)
+                    bx0 = rec[2, base + META]
+                    bx1 = rec[3, base + META]
+                    ntrg = jnp.where((bx0 <= txf) & (txf <= bx1), ntrg, 0)
+                    ty0s = jnp.minimum(ty0s, jnp.where(ntrg > 0, ty0g, big))
+                    tyend = jnp.maximum(tyend,
+                                        jnp.where(ntrg > 0, ty0g + ntrg, 0))
+                ty0u = jnp.minimum(ty0s, tyend)
+                ntr_u = jnp.maximum(tyend - ty0u, 0)
+
+                Cs = [[rec[:, g * PCOLS + k].reshape(1, GBLOCK, 1)
+                       for k in range(NUM_COLS)] for g in range(GROUPS)]
+                ids_g = [(sup_id0 + g * GBLOCK + lane_ids)
+                         .astype(jnp.float32) for g in range(GROUPS)]
+
+                def trip(t, carry4):
+                    ty = ty0u + t
+                    py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+                          .astype(jnp.float32)
+                          + (ty * 8).astype(jnp.float32) + 0.5)
+                    best = None
+                    for g in range(GROUPS):
+                        C = Cs[g]
+
+                        def col(k):
+                            return C[k]
+
+                        f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
+                        f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
+                        f2 = (col(10) * (px - col(8))
+                              - col(11) * (py - col(9)))
+                        a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
+                        a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
+                        a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
+                        aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+                        az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+                        asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+                        cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                               & (col(24) > 0.0)
+                               & (az >= 0.0) & (aw > 0.0)
+                               & (asum - az >= 0.0))
+                        cids = jnp.where(cov, ids_g[g] * jnp.ones_like(f0),
+                                         -1.0)
+                        wid = jnp.max(cids, axis=1, keepdims=True)
+                        sel = ((cids == wid) & cov).astype(jnp.float32)
+                        cand = (wid[:, 0, :], jnp.sum(a0 * sel, axis=1),
+                                jnp.sum(a1 * sel, axis=1),
+                                jnp.sum(a2 * sel, axis=1),
+                                jnp.sum(aw * sel, axis=1))
+                        if best is None:
+                            best = cand
+                        else:
+                            # ids ascend with g: strict > keeps draw order
+                            take = cand[0] > best[0]
+                            best = tuple(jnp.where(take, n, b)
+                                         for n, b in zip(cand, best))
+                    cid, c0, c1, c2, cw = best
+                    sl = pl.ds(ty * 8, 8)
+                    acc_lo = aid_ref[sl, :]
+                    better = cid > acc_lo
+                    aid_ref[sl, :] = jnp.where(better, cid, acc_lo)
+                    a0_ref[sl, :] = jnp.where(better, c0, a0_ref[sl, :])
+                    a1_ref[sl, :] = jnp.where(better, c1, a1_ref[sl, :])
+                    a2_ref[sl, :] = jnp.where(better, c2, a2_ref[sl, :])
+                    aw_ref[sl, :] = jnp.where(better, cw, aw_ref[sl, :])
+                    return carry4
+
+                jax.lax.fori_loop(0, ntr_u, trip, 0)
 
             def _do_group(rec, g, sup_id0):
                 base = g * PCOLS
@@ -336,6 +427,173 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
     mask_ref[...] = covered.astype(jnp.float32)
 
 
+def _packed_id_kernel(counts_ref,                    # SMEM prefetch (B*NTX,)
+                      wls_ref, wln_ref,              # VMEM (1,1,ROWS,1)
+                      stream_ref,                    # HBM packed stream
+                      aid_out,                       # output (H8, 128)
+                      aid_ref,                       # accumulator scratch
+                      scratch, sem,                  # (RING, SLAB*8, 128)
+                      *, ntx, spr, row_size, frame_supers):
+    """Id-only strip walk: the hot loop transports ONLY the winning
+    painter id (a pure max-merge -- no one-hot selects, no payload planes,
+    one accumulator RMW). Varyings are reconstructed bit-identically in an
+    XLA epilogue that row-gathers each covered pixel's winning record from
+    the same stream and re-evaluates the same formulas in the same f32 op
+    order (render_gbuffer_packed_batch). Roughly halves the per-trip op
+    count vs the full-payload kernel (_packed_kernel), which remains the
+    T >= 2^24 split-id fallback."""
+    prog = pl.program_id(0)                          # b * ntx + tx
+    tx = jax.lax.rem(prog, ntx)
+    frame = jax.lax.div(prog, ntx)
+    h8 = aid_out.shape[0]
+
+    aid_ref[...] = jnp.full((h8, 128), -1.0, jnp.float32)
+
+    px = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+          .astype(jnp.float32) + (tx * 128).astype(jnp.float32) + 0.5)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, GBLOCK, 1), 1)
+    txf = tx.astype(jnp.float32)
+
+    frame_base = frame * frame_supers
+    max_slab = frame_supers - _SLAB
+
+    def dma(slab_sup, slot):
+        return pltpu.make_async_copy(
+            stream_ref.at[pl.ds((frame_base + slab_sup) * 8, _SLAB * 8), :],
+            scratch.at[slot], sem.at[slot])
+
+    n_entries = counts_ref[prog]
+
+    def entry_body(e, carry):
+        start = wls_ref[0, 0, e, 0]
+        n = wln_ref[0, 0, e, 0]
+        nslab = jax.lax.div(n + _SLAB - 1, _SLAB)
+
+        def slab_start(s):
+            return jnp.minimum(start + s * _SLAB, max_slab)
+
+        for k in range(_RING):
+            dma(slab_start(jnp.int32(k)), k).start()
+
+        def slab_body(s, carry2):
+            slot = jax.lax.rem(s, _RING)
+            dma(slab_start(s), slot).wait()
+            base_sup = slab_start(s)
+
+            def sup_body(c, carry3):
+                rec = scratch[slot, pl.ds(c * 8, 8), :]   # (8, 128)
+                sup = base_sup + c
+                r = jax.lax.div(sup, spr)
+                sup_id0 = r * row_size + (sup - r * spr) * SUPER_T
+                for g in range(GROUPS):
+                    _do_group(rec, g, sup_id0)
+                return carry3
+
+            def _do_group(rec, g, sup_id0):
+                base = g * PCOLS
+                # Only the coverage columns ride the hot loop (22 of 31).
+                C = {k: rec[:, base + k].reshape(1, GBLOCK, 1)
+                     for k in (list(range(12)) + list(range(21, 31)))}
+
+                def col(k):
+                    return C[k]
+
+                ty0 = rec[0, base + META].astype(jnp.int32)
+                ntr = rec[1, base + META].astype(jnp.int32)
+                bx0 = rec[2, base + META]
+                bx1 = rec[3, base + META]
+                ntr = jnp.where((bx0 <= txf) & (txf <= bx1), ntr, 0)
+
+                ids_f = (sup_id0 + g * GBLOCK + lane_ids).astype(jnp.float32)
+
+                def trip(t, carry4):
+                    ty = ty0 + t
+                    py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+                          .astype(jnp.float32)
+                          + (ty * 8).astype(jnp.float32) + 0.5)
+                    f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
+                    f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
+                    f2 = col(10) * (px - col(8)) - col(11) * (py - col(9))
+                    aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+                    az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+                    asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+                    cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                           & (col(24) > 0.0)
+                           & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
+                    cids = jnp.where(cov, ids_f * jnp.ones_like(f0), -1.0)
+                    wid = jnp.max(cids, axis=1)               # (8, 128)
+                    sl = pl.ds(ty * 8, 8)
+                    aid_ref[sl, :] = jnp.maximum(aid_ref[sl, :], wid)
+                    return carry4
+
+                jax.lax.fori_loop(0, ntr, trip, 0)
+
+            jax.lax.fori_loop(0, _SLAB, sup_body, 0)
+            dma(slab_start(s + _RING), slot).start()
+            return carry2
+
+        jax.lax.fori_loop(0, nslab, slab_body, 0)
+        for k in range(_RING):
+            dma(slab_start(jnp.int32(k)), k).wait()
+        return carry
+
+    jax.lax.fori_loop(0, n_entries, entry_body, 0)
+    aid_out[...] = aid_ref[...]
+
+
+def _varyings_from_ids(aid, stream, row_size: int, spr: int,
+                       frame_supers: int, width: int, height: int):
+    """XLA epilogue for the id-only kernel: rebuild (v0, v1, v2, mask).
+
+    aid: (h8, NTX*128) f32 winner ids (-1 empty) of ONE frame;
+    stream: this frame's (FRAME_SUPERS*8, 128) packed stream.
+    Row-gathers each covered pixel's winning record (fast on TPU) and
+    re-evaluates the exact trip formulas at the pixel center -- identical
+    f32 ops on identical record columns, so results are bit-equal to the
+    full-payload kernel and the tile oracle.
+    """
+    h8, wpad = aid.shape
+    mask = aid >= 0.0
+    t = jnp.maximum(aid.astype(jnp.int32), 0)
+    r = t // row_size
+    off = t - r * row_size
+    ls = off // SUPER_T
+    g8 = (off - ls * SUPER_T) // GBLOCK
+    rank = off - ls * SUPER_T - g8 * GBLOCK
+    row = (r * spr + ls) * 8 + rank                   # (h8, WPAD)
+
+    recs = stream[row.reshape(-1)]                    # (N, 128) row gather
+    chunk = jnp.take_along_axis(
+        recs.reshape(-1, GROUPS, PCOLS), g8.reshape(-1, 1, 1),
+        axis=1)[:, 0, :]                              # (N, PCOLS)
+
+    def c(k):
+        return chunk[:, k]
+
+    px = (jnp.arange(wpad, dtype=jnp.float32) + 0.5)[None, :]
+    py = (jnp.arange(h8, dtype=jnp.float32) + 0.5)[:, None]
+    px = jnp.broadcast_to(px, (h8, wpad)).reshape(-1)
+    py = jnp.broadcast_to(py, (h8, wpad)).reshape(-1)
+
+    f0 = c(2) * (px - c(0)) - c(3) * (py - c(1))
+    f1 = c(6) * (px - c(4)) - c(7) * (py - c(5))
+    f2 = c(10) * (px - c(8)) - c(11) * (py - c(9))
+    a0 = f0 * c(12) + f1 * c(13) + f2 * c(14)
+    a1 = f0 * c(15) + f1 * c(16) + f2 * c(17)
+    a2 = f0 * c(18) + f1 * c(19) + f2 * c(20)
+    aw = f0 * c(21) + f1 * c(22) + f2 * c(23)
+    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+    shape = (h8, wpad)
+    zero = jnp.zeros(shape, jnp.float32)
+    mflat = mask.reshape(-1)
+    v0 = jnp.where(mflat, a0 * rcp, 0.0).reshape(shape)
+    v1 = jnp.where(mflat, a1 * rcp, 0.0).reshape(shape)
+    v2 = jnp.where(mflat, a2 * rcp, 0.0).reshape(shape)
+    del zero
+    return (v0[:height, :width], v1[:height, :width], v2[:height, :width],
+            mask[:height, :width])
+
+
 def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
                                 width: int, height: int,
                                 tile_h: int = TILE_H, tile_w: int = TILE_W):
@@ -363,15 +621,9 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
     stream = stream_b.reshape(B * supers_pad * 8, 128)
 
     exact_ids = T >= (1 << 24)
-    kernel = functools.partial(
-        _packed_kernel, ntx=ntx, spr=spr, row_size=row_size,
-        frame_supers=supers_pad, exact_ids=exact_ids)
 
-    out_shape = jax.ShapeDtypeStruct((B * h8, ntx * 128), jnp.float32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B * ntx,),
-        in_specs=[
+    def index_maps():
+        return [
             pl.BlockSpec((1, 1, rows, 1),
                          lambda p, *pref: (jax.lax.div(p, ntx),
                                            jax.lax.rem(p, ntx), 0, 0),
@@ -381,12 +633,59 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
                                            jax.lax.rem(p, ntx), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),     # stream (HBM)
-        ],
-        out_specs=tuple(
-            pl.BlockSpec((h8, 128),
-                         lambda p, *pref: (jax.lax.div(p, ntx),
-                                           jax.lax.rem(p, ntx)),
-                         memory_space=pltpu.VMEM) for _ in range(4)),
+        ]
+
+    out_shape = jax.ShapeDtypeStruct((B * h8, ntx * 128), jnp.float32)
+    out_spec = pl.BlockSpec((h8, 128),
+                            lambda p, *pref: (jax.lax.div(p, ntx),
+                                              jax.lax.rem(p, ntx)),
+                            memory_space=pltpu.VMEM)
+
+    # The id-only kernel halves the hot loop's op count but pays a
+    # per-pixel record row-gather in the epilogue (~25 ms/frame at this
+    # environment's measured ~10 GB/s gather throughput -- a net LOSS
+    # here, a win on spec-bandwidth HBM where the gather is <1 ms).
+    # Opt-in until effective bandwidth improves. Trace-time env read: the
+    # choice is baked per compiled executable, byte-identical either way.
+    use_id_kernel = os.environ.get("VF_PACKED_ID") == "1"
+    if use_id_kernel and not exact_ids:
+        # id-only kernel + XLA varyings epilogue (bit-identical).
+        kernel = functools.partial(
+            _packed_id_kernel, ntx=ntx, spr=spr, row_size=row_size,
+            frame_supers=supers_pad)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * ntx,),
+            in_specs=index_maps(),
+            out_specs=(out_spec,),
+            scratch_shapes=[
+                pltpu.VMEM((h8, 128), jnp.float32),   # aid accumulator
+                pltpu.VMEM((_RING, _SLAB * 8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((_RING,)),
+            ],
+        )
+        (aid,) = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(out_shape,),
+        )(counts_b.reshape(-1), wls_b[..., None], wln_b[..., None], stream)
+        aid_b = aid.reshape(B, h8, ntx * 128)
+        v0, v1, v2, mask = jax.vmap(functools.partial(
+            _varyings_from_ids, row_size=row_size, spr=spr,
+            frame_supers=supers_pad, width=width, height=height)
+        )(aid_b, stream_b.reshape(B, supers_pad * 8, 128))
+        return v0, v1, v2, mask
+
+    merged = os.environ.get("VF_PACKED_MERGE", "1") == "1"
+    kernel = functools.partial(
+        _packed_kernel, ntx=ntx, spr=spr, row_size=row_size,
+        frame_supers=supers_pad, exact_ids=exact_ids, merged=merged)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * ntx,),
+        in_specs=index_maps(),
+        out_specs=tuple(out_spec for _ in range(4)),
         scratch_shapes=[
             pltpu.VMEM((h8, 128), jnp.float32),   # aid (lo)
             pltpu.VMEM((h8, 128), jnp.float32),   # ahi
