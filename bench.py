@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-WIDTH, HEIGHT = 800, 600
+WIDTH = int(os.environ.get("VF_BENCH_W", "800"))
+HEIGHT = int(os.environ.get("VF_BENCH_H", "600"))
 # North-star scene: grid=1024 (BASELINE.json). VF_BENCH_GRID=128 measures
 # the reference's default TerrainSpike grid (src/terrain/mod.rs:258).
 GRID = int(os.environ.get("VF_BENCH_GRID", "1024"))

@@ -117,6 +117,24 @@ def test_packed_stream_tables():
         assert wl_n[0, :2].tolist() == [1, 1]
 
 
+def test_packed_exact_ids_identical():
+    # The split (hi, lo) painter compare used for T >= 2^24 must paint
+    # byte-identically to the single-f32-id kernel on any scene.
+    from vulkan_forge._raster import packed
+    from vulkan_forge._raster.setup import setup_cols
+
+    grid, W, H = 16, 160, 120
+    x, y, z, w, vary, indices = _spike(grid, W, H)
+    cols, bbox = setup_cols(x, y, z, w, vary, indices, W, H)
+    cols_b = tuple(c[None] for c in cols)
+    rs = 2 * (grid - 1)
+    a = packed.render_gbuffer_packed_batch(cols_b, bbox[None], rs, W, H)
+    b = packed.render_gbuffer_packed_batch(cols_b, bbox[None], rs, W, H,
+                                           force_exact_ids=True)
+    for pa, pb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_hw_fill_rule_matches_fixed_point_oracle():
     # VF_FILL_RULE=hw coverage must equal the int64 top-left oracle exactly
     # (shared mesh edges covered by exactly one triangle).

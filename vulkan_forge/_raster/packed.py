@@ -271,7 +271,13 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                     py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
                           .astype(jnp.float32)
                           + (ty * 8).astype(jnp.float32) + 0.5)
-                    best = None
+                    # Per-group candidate eval, then a SUBLANE-WISE select
+                    # chain across groups (ids ascend with g, so larger id
+                    # wins) and ONE cross-sublane one-hot resolve for all
+                    # 32 triangles -- instead of four max/one-hot/sum
+                    # reduction sets. The surviving one-hot sum still has
+                    # exactly one term, so values stay bit-exact.
+                    mid = None
                     for g in range(GROUPS):
                         C = Cs[g]
 
@@ -294,20 +300,21 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                                & (asum - az >= 0.0))
                         cids = jnp.where(cov, ids_g[g] * jnp.ones_like(f0),
                                          -1.0)
-                        wid = jnp.max(cids, axis=1, keepdims=True)
-                        sel = ((cids == wid) & cov).astype(jnp.float32)
-                        cand = (wid[:, 0, :], jnp.sum(a0 * sel, axis=1),
-                                jnp.sum(a1 * sel, axis=1),
-                                jnp.sum(a2 * sel, axis=1),
-                                jnp.sum(aw * sel, axis=1))
-                        if best is None:
-                            best = cand
+                        cand = (cids, a0, a1, a2, aw)
+                        if mid is None:
+                            mid = cand
                         else:
-                            # ids ascend with g: strict > keeps draw order
-                            take = cand[0] > best[0]
-                            best = tuple(jnp.where(take, n, b)
-                                         for n, b in zip(cand, best))
-                    cid, c0, c1, c2, cw = best
+                            take = cand[0] > mid[0]
+                            mid = tuple(jnp.where(take, n, m)
+                                        for n, m in zip(cand, mid))
+                    cids, a0, a1, a2, aw = mid
+                    wid = jnp.max(cids, axis=1, keepdims=True)
+                    sel = ((cids == wid) & (wid >= 0.0)).astype(jnp.float32)
+                    cid = wid[:, 0, :]
+                    c0 = jnp.sum(a0 * sel, axis=1)
+                    c1 = jnp.sum(a1 * sel, axis=1)
+                    c2 = jnp.sum(a2 * sel, axis=1)
+                    cw = jnp.sum(aw * sel, axis=1)
                     sl = pl.ds(ty * 8, 8)
                     acc_lo = aid_ref[sl, :]
                     better = cid > acc_lo
@@ -584,24 +591,25 @@ def _varyings_from_ids(aid, stream, row_size: int, spr: int,
     aw = f0 * c(21) + f1 * c(22) + f2 * c(23)
     rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
     shape = (h8, wpad)
-    zero = jnp.zeros(shape, jnp.float32)
     mflat = mask.reshape(-1)
     v0 = jnp.where(mflat, a0 * rcp, 0.0).reshape(shape)
     v1 = jnp.where(mflat, a1 * rcp, 0.0).reshape(shape)
     v2 = jnp.where(mflat, a2 * rcp, 0.0).reshape(shape)
-    del zero
     return (v0[:height, :width], v1[:height, :width], v2[:height, :width],
             mask[:height, :width])
 
 
 def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
                                 width: int, height: int,
-                                tile_h: int = TILE_H, tile_w: int = TILE_W):
+                                tile_h: int = TILE_H, tile_w: int = TILE_W,
+                                force_exact_ids: bool = False):
     """B frames in one pallas_call over packed 128 B/tri streams.
 
     cols_b: tuple of NUM_COLS (B, T) f32 arrays (vmapped setup_cols);
     bbox_b: (B, T, 4). Returns (v0, v1, v2, mask) each (B, H, W). No
     data-dependent shapes: one compile per (B, T, W, H, row_size).
+    force_exact_ids exercises the T >= 2^24 split-id painter compare on
+    small scenes (tests).
     """
     B, T = bbox_b.shape[:2]
     ntx = -(-width // tile_w)
@@ -620,7 +628,7 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
     stream_b, wls_b, wln_b, counts_b = prep(cols_b, bbox_b)
     stream = stream_b.reshape(B * supers_pad * 8, 128)
 
-    exact_ids = T >= (1 << 24)
+    exact_ids = T >= (1 << 24) or force_exact_ids
 
     def index_maps():
         return [
