@@ -89,14 +89,24 @@ def main() -> int:
         # walk, one dispatch per batch, no data-dependent shapes.
         row_size = 2 * (GRID - 1)
 
-        def run(views, projs):
-            out = P._terrain_render_batch_packed(
+        @jax.jit
+        def run_sum(views, projs):
+            out = P._terrain_render_batch_packed.__wrapped__(
                 xyuv, indices, heights, views, projs, lut, args["h_min"],
                 args["h_max"], args["exposure"], args["sun_dir"],
                 args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
-                row_size, fs_mode="shipped")
-            # device_get, NOT block_until_ready (CLAUDE.md benchmark trap 2)
-            return jax.device_get(out[:, ::53, ::67])
+                row_size, fs_mode="shipped", grid_n=GRID)
+            return jnp.sum(out & 0xFF)
+
+        def run(views, projs):
+            # CHECKSUM forcing: a full reduction forces every pixel of
+            # every frame (slicing would let XLA prune the fragment
+            # epilogue -- see BASELINE.md "methodology change") while the
+            # host transfer stays 4 bytes. Full-image readback through
+            # THIS environment's tunnel adds a ~200 ms/batch transfer
+            # artifact that local-HBM readback does not have.
+            # device_get, NOT block_until_ready (CLAUDE.md trap 2).
+            return jax.device_get(run_sum(views, projs))
 
     if (run is None and use_pallas and T > P.SEGMENT_THRESHOLD
             and dense_mode == "visits"
@@ -117,7 +127,7 @@ def main() -> int:
                 args["h_min"], args["h_max"], args["exposure"],
                 args["sun_dir"], args["spacing"], args["exaggeration"],
                 WIDTH, HEIGHT, cap)
-            sample, o = jax.device_get((imgs[:, ::53, ::67], ovf))
+            sample, o = jax.device_get((jnp.sum(imgs & 0xFF), ovf))
             if bool(o):
                 raise OverflowError("visit list overflow")
             return sample
@@ -132,15 +142,18 @@ def main() -> int:
         # Dense-mesh fallback: batched strip-walk path.
         row_size = 2 * (GRID - 1)
 
-        def run(views, projs):
-            out = P._terrain_render_batch_strips(
+        @jax.jit
+        def run_sum_strips(views, projs):
+            out = P._terrain_render_batch_strips.__wrapped__(
                 xyuv, indices, heights, views, projs, lut, args["h_min"],
                 args["h_max"], args["exposure"], args["sun_dir"],
                 args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
                 row_size, fs_mode="shipped")
-            # device_get, NOT block_until_ready: the latter can return
-            # before execution for pallas-dominated outputs here (CLAUDE.md)
-            return jax.device_get(out[:, ::53, ::67])
+            return jnp.sum(out & 0xFF)
+
+        def run(views, projs):
+            # checksum forcing (see packed path note above)
+            return jax.device_get(run_sum_strips(views, projs))
     elif run is None:
         # Moderate meshes: ALL frames of a batch inside ONE jit -> one
         # dispatch (measured 3.1x over per-frame dispatch at grid=128:
@@ -172,7 +185,8 @@ def main() -> int:
             return jnp.stack(outs)
 
         def run(views, projs):
-            return jax.device_get(batch_frames(views, projs)[:, ::53, ::67])
+            # checksum forcing (see packed path note above)
+            return jax.device_get(jnp.sum(batch_frames(views, projs) & 0xFF))
 
     run(*cam_sets[-1])  # compile
     t0 = time.perf_counter()

@@ -52,10 +52,10 @@ def scene(grid):
             jnp.zeros((1, 1), jnp.float32))
 
 
-def packed(xyuv, indices, heights, views, projs, w, h, rs):
+def packed(xyuv, indices, heights, views, projs, w, h, rs, grid_n=None):
     return P._terrain_render_batch_packed(
         xyuv, indices, heights, views, projs, LUT, *COM, w, h, rs,
-        fs_mode="shipped")
+        fs_mode="shipped", grid_n=grid_n)
 
 
 def parity():
@@ -63,7 +63,8 @@ def parity():
     xyuv, indices, heights = scene(g)
     views, projs = cams(1, w, h, 0.7)
     got = np.asarray(jax.device_get(packed(
-        xyuv, indices, heights, views, projs, w, h, 2 * (g - 1))))[0]
+        xyuv, indices, heights, views, projs, w, h, 2 * (g - 1),
+        grid_n=g)))[0]
     records, bbox = P._terrain_records(
         xyuv, indices, heights, views[0], projs[0], COM[4], COM[5], w, h)
     cap, sx, sy = P._static_bin_params(bbox, w, h)
@@ -86,7 +87,7 @@ def main():
         # sum-forced: slicing the u32 image lets XLA prune the fragment
         # epilogue out of the measurement
         return jnp.sum(packed(xyuv, indices, heights, views, projs,
-                              W, H, rs) & 0xFF)
+                              W, H, rs, grid_n=GRID) & 0xFF)
 
     def run(views, projs):
         return jax.device_get(run_sum(views, projs))

@@ -117,6 +117,70 @@ def test_packed_stream_tables():
         assert wl_n[0, :2].tolist() == [1, 1]
 
 
+def test_setup_cols_grid_matches_gathered():
+    # The gather-free split-row grid setup must reproduce setup_cols'
+    # columns and bboxes bit-for-bit under its stream permutation (both
+    # fill rules), with all pad slots invalid.
+    from vulkan_forge._raster.setup import (grid_split_ids, setup_cols,
+                                            setup_cols_grid)
+
+    grid, W, H = 16, 160, 120
+    cells = grid - 1
+    x, y, z, w, vary, indices = _spike(grid, W, H, (0.9, 0.25, 0.7))
+    for rule in ("inclusive", "hw"):
+        ca, ba = setup_cols(x, y, z, w, vary, indices, W, H, fill_rule=rule)
+        cb, bb, meta = setup_cols_grid(x, y, z, w, vary, grid, W, H,
+                                       fill_rule=rule)
+        rs2, tri_ids = grid_split_ids(grid)
+        assert int(meta["row_size"]) == int(rs2)
+        ids = np.asarray(tri_ids)
+        valid_slots = np.array([q * int(rs2) + p for q in range(2 * cells)
+                                for p in range(cells)])
+        perm = np.full(2 * cells * cells, -1, np.int64)
+        perm[ids[valid_slots]] = valid_slots
+        assert (perm >= 0).all()
+        assert len(ca) == len(cb)
+        for p, q in zip(ca, cb):
+            np.testing.assert_array_equal(np.asarray(p),
+                                          np.asarray(q)[perm])
+        np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb)[perm])
+        pad = np.setdiff1d(np.arange(2 * cells * int(rs2)), valid_slots)
+        assert (np.asarray(cb[24])[pad] == 0).all()
+
+
+def test_packed_split_grid_matches_oracle():
+    # The split-row packed path (meta-stamped true ids, stride 2) must
+    # paint byte-identically to the tile oracle through the batch API.
+    from vulkan_forge._raster import packed
+    from vulkan_forge._raster.setup import grid_split_ids, setup_cols_grid
+
+    grid, W, H = 16, 160, 120
+    x, y, z, w, vary, indices = _spike(grid, W, H, (0.9, 0.25, 0.7))
+    ref = _oracle(x, y, z, w, vary, indices, W, H)
+    cols, bbox, _ = setup_cols_grid(x, y, z, w, vary, grid, W, H)
+    rs2, tri_ids = grid_split_ids(grid)
+    got = packed.render_gbuffer_packed_ref(
+        tuple(cols), bbox, int(rs2), W, H, tri_ids=tri_ids, id_stride=2)
+    import jax as _jax
+    on_cpu = _jax.default_backend() == "cpu"
+    for a, b in zip(ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        if on_cpu and a.dtype != np.bool_:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(a, b)
+    if not on_cpu:
+        # the Pallas kernel on the same split stream (the pipeline gates
+        # the split to T >= 400K; the batch API has no gate, so a small
+        # scene exercises the id-meta kernel cheaply)
+        cols_b = tuple(c[None] for c in cols)
+        got_k = packed.render_gbuffer_packed_batch(
+            cols_b, bbox[None], int(rs2), W, H, tri_ids=tri_ids,
+            id_stride=2)
+        for a, b in zip(ref, got_k):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[0])
+
+
 def test_packed_exact_ids_identical():
     # The split (hi, lo) painter compare used for T >= 2^24 must paint
     # byte-identically to the single-f32-id kernel on any scene.

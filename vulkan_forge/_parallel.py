@@ -84,7 +84,7 @@ def render_spike_frames(width: int, height: int, grid: int,
                 jnp.float32(g.exposure), sun,
                 jnp.float32(g.spacing), jnp.float32(g.exaggeration),
                 width, height, row_size,
-                fs_mode="shipped", use_pallas=use_pallas)
+                fs_mode="shipped", use_pallas=use_pallas, grid_n=grid)
     else:
         # Shared static binning params from a prepass over all cameras.
         cmax, sx, sy = jax.device_get(pipe._terrain_batch_counts(

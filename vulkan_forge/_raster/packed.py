@@ -63,13 +63,19 @@ _RING = 2         # DMA ring depth
 
 
 def build_packed_stream(cols, bbox, row_size: int, width: int, height: int,
-                        tile_h: int = TILE_H, tile_w: int = TILE_W):
+                        tile_h: int = TILE_H, tile_w: int = TILE_W,
+                        tri_ids=None):
     """Lay out setup columns as the packed stream + per-column worklists.
 
     cols: tuple of NUM_COLS (T,) f32 vectors (setup.setup_cols).
     bbox: (T, 4) int32 pixel bboxes (invalid encoding x1 < x0).
     row_size: draw-order id stride of one mesh row (2*(G-1) for grid
     meshes; T for arbitrary geometry, degenerating to one interval row).
+    tri_ids: optional (T,) int32 TRUE painter ids when the stream order is
+    a permutation of draw order (setup.setup_cols_grid's split layout);
+    each 8-triangle block's base id is stamped into meta sublane 4 (the
+    block's ids must be affine in the sublane index -- the kernel applies
+    its static id_stride).
 
     Returns (stream (SUPERS_PAD*8, 128) f32, wl_start (NTX, ROWS) int32
     absolute super index, wl_n (NTX, ROWS) int32, counts (NTX,) int32).
@@ -120,10 +126,16 @@ def build_packed_stream(cols, bbox, row_size: int, width: int, height: int,
     # (N, 1)-shaped stack operand padded to 128 lanes -- 1 GB apiece at
     # grid=1024. The (PCOLS, T) matrix has no pathological padding and the
     # transpose reads/writes tile-local 32x32 chunks.)
+    if tri_ids is not None:
+        id0_b = blockify(rowpad(tri_ids, jnp.int32(0)))[:, :, 0]
+        id0_f = id0_b.astype(jnp.float32)          # exact: ids < 2^24
+    else:
+        id0_f = jnp.zeros((supers, GROUPS), jnp.float32)
     meta_b = jnp.stack(
         [b_ty0c.astype(jnp.float32), b_trips.astype(jnp.float32),
-         b_tx0c.astype(jnp.float32), b_tx1c.astype(jnp.float32)]
-        + [jnp.zeros((supers, GROUPS), jnp.float32)] * 4,
+         b_tx0c.astype(jnp.float32), b_tx1c.astype(jnp.float32),
+         id0_f]
+        + [jnp.zeros((supers, GROUPS), jnp.float32)] * 3,
         axis=-1)                                   # (SUPERS, GROUPS, 8)
     tpad = supers * SUPER_T
     # One matrix-level row pad (vs NUM_COLS per-column pads, which XLA
@@ -174,7 +186,7 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                    aid_ref, ahi_ref, a0_ref, a1_ref, a2_ref, aw_ref,
                    scratch, sem,                     # (RING, SLAB*8, 128)
                    *, ntx, spr, row_size, frame_supers, exact_ids,
-                   merged=False):
+                   merged=False, id_meta=False, id_stride=1):
     prog = pl.program_id(0)                          # b * ntx + tx
     tx = jax.lax.rem(prog, ntx)
     frame = jax.lax.div(prog, ntx)
@@ -263,8 +275,16 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
 
                 Cs = [[rec[:, g * PCOLS + k].reshape(1, GBLOCK, 1)
                        for k in range(NUM_COLS)] for g in range(GROUPS)]
-                ids_g = [(sup_id0 + g * GBLOCK + lane_ids)
-                         .astype(jnp.float32) for g in range(GROUPS)]
+                if id_meta:
+                    # true painter ids stamped per block (meta sublane 4);
+                    # all values < 2^24 so the f32 math is exact
+                    lane_f = lane_ids.astype(jnp.float32)
+                    ids_g = [rec[4, g * PCOLS + META]
+                             + jnp.float32(id_stride) * lane_f
+                             for g in range(GROUPS)]
+                else:
+                    ids_g = [(sup_id0 + g * GBLOCK + lane_ids)
+                             .astype(jnp.float32) for g in range(GROUPS)]
 
                 def trip(t, carry4):
                     ty = ty0u + t
@@ -351,6 +371,10 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                 if exact_ids:
                     id_hi = (ids_i >> 12).astype(jnp.float32)
                     id_lo = (ids_i & 4095).astype(jnp.float32)
+                elif id_meta:
+                    ids_f = (rec[4, base + META]
+                             + jnp.float32(id_stride)
+                             * lane_ids.astype(jnp.float32))
                 else:
                     ids_f = ids_i.astype(jnp.float32)
 
@@ -602,14 +626,17 @@ def _varyings_from_ids(aid, stream, row_size: int, spr: int,
 def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
                                 width: int, height: int,
                                 tile_h: int = TILE_H, tile_w: int = TILE_W,
-                                force_exact_ids: bool = False):
+                                force_exact_ids: bool = False,
+                                tri_ids=None, id_stride: int = 1):
     """B frames in one pallas_call over packed 128 B/tri streams.
 
     cols_b: tuple of NUM_COLS (B, T) f32 arrays (vmapped setup_cols);
     bbox_b: (B, T, 4). Returns (v0, v1, v2, mask) each (B, H, W). No
     data-dependent shapes: one compile per (B, T, W, H, row_size).
     force_exact_ids exercises the T >= 2^24 split-id painter compare on
-    small scenes (tests).
+    small scenes (tests). tri_ids/id_stride: true painter ids for
+    permuted stream orders (setup.setup_cols_grid); one (T,) vector
+    shared by all frames, stamped into block metadata.
     """
     B, T = bbox_b.shape[:2]
     ntx = -(-width // tile_w)
@@ -622,13 +649,18 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
     assert tile_h == 8 and tile_w == 128, "packed kernel is (8,128)-native"
     assert h8 * 128 * 4 * 6 < 12 * 2**20, "framebuffer too tall for strips"
 
-    prep = jax.vmap(functools.partial(
-        build_packed_stream, row_size=row_size, width=width, height=height,
-        tile_h=tile_h, tile_w=tile_w))
-    stream_b, wls_b, wln_b, counts_b = prep(cols_b, bbox_b)
+    id_meta = tri_ids is not None
+
+    def prep_one(cols, bbox):
+        return build_packed_stream(cols, bbox, row_size, width, height,
+                                   tile_h, tile_w, tri_ids=tri_ids)
+
+    stream_b, wls_b, wln_b, counts_b = jax.vmap(prep_one)(cols_b, bbox_b)
     stream = stream_b.reshape(B * supers_pad * 8, 128)
 
     exact_ids = T >= (1 << 24) or force_exact_ids
+    assert not (exact_ids and id_meta), \
+        "split-grid stream carries f32 ids (< 2^24 only)"
 
     def index_maps():
         return [
@@ -655,7 +687,7 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
     # here, a win on spec-bandwidth HBM where the gather is <1 ms).
     # Opt-in until effective bandwidth improves. Trace-time env read: the
     # choice is baked per compiled executable, byte-identical either way.
-    use_id_kernel = os.environ.get("VF_PACKED_ID") == "1"
+    use_id_kernel = os.environ.get("VF_PACKED_ID") == "1" and not id_meta
     if use_id_kernel and not exact_ids:
         # id-only kernel + XLA varyings epilogue (bit-identical).
         kernel = functools.partial(
@@ -687,7 +719,8 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
     merged = os.environ.get("VF_PACKED_MERGE", "1") == "1"
     kernel = functools.partial(
         _packed_kernel, ntx=ntx, spr=spr, row_size=row_size,
-        frame_supers=supers_pad, exact_ids=exact_ids, merged=merged)
+        frame_supers=supers_pad, exact_ids=exact_ids, merged=merged,
+        id_meta=id_meta, id_stride=id_stride)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -730,7 +763,8 @@ def render_gbuffer_packed(cols, bbox, row_size: int,
 
 def render_gbuffer_packed_ref(cols, bbox, row_size: int,
                               width: int, height: int,
-                              tile_h: int = TILE_H, tile_w: int = TILE_W):
+                              tile_h: int = TILE_H, tile_w: int = TILE_W,
+                              tri_ids=None, id_stride: int = 1):
     """Pure-jnp executable specification of the packed kernel.
 
     Consumes the exact same stream + worklists as the Pallas kernel and
@@ -750,7 +784,9 @@ def render_gbuffer_packed_ref(cols, bbox, row_size: int,
     h8 = nty * tile_h
 
     stream, wl_start, wl_n, counts = build_packed_stream(
-        cols, bbox, row_size, width, height, tile_h, tile_w)
+        cols, bbox, row_size, width, height, tile_h, tile_w,
+        tri_ids=tri_ids)
+    id_meta = tri_ids is not None
 
     neg1 = jnp.full((h8, ntx * 128), -1.0, jnp.float32)
     zero = jnp.zeros((h8, ntx * 128), jnp.float32)
@@ -785,7 +821,13 @@ def render_gbuffer_packed_ref(cols, bbox, row_size: int,
                 bx0 = rec[2, base + META]
                 bx1 = rec[3, base + META]
                 ntr = jnp.where((bx0 <= txf) & (txf <= bx1), ntr, 0)
-                ids_f = (sup_id0 + g * GBLOCK + lane_ids).astype(jnp.float32)
+                if id_meta:
+                    ids_f = (rec[4, base + META]
+                             + jnp.float32(id_stride)
+                             * lane_ids.astype(jnp.float32))
+                else:
+                    ids_f = (sup_id0 + g * GBLOCK
+                             + lane_ids).astype(jnp.float32)
 
                 def trip(t, accs):
                     aid, A0, A1, A2, AW = accs

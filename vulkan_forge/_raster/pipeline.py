@@ -56,11 +56,14 @@ def _round_span(n: int) -> int:
     return c
 
 
-# Above this triangle count the segment-walk kernel (culled+compacted
-# contiguous streaming) beats the list kernel (gathered per-tile lists).
-# Measured at 800x600: grid=256 (130K tris) lists win 2.5x; grid=1024
-# (2.1M tris) segments win >1.4x and avoid the list gather's OOM.
-SEGMENT_THRESHOLD = 200_000
+# Above this triangle count the draw-order streaming kernels beat the
+# list kernel (whose (T, NT) overlap-matrix binning dominates its frame
+# cost: 15.7 of 23.6 ms/frame at grid=128, honest sum-forced round-3
+# measurement). The packed-stream walk measured 1.7x faster than the
+# list path already at 32K triangles (13.6 vs 23.6 ms/frame at 800x600
+# b8), so the threshold sits well below it; small scenes keep the list
+# path whose capacity gather is cheap there.
+SEGMENT_THRESHOLD = 20_000
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_h", "tile_w"))
@@ -208,10 +211,13 @@ def _strips_fit(height: int) -> bool:
 # ---------------- packed-stream dense path (round 3 default) ----------------
 
 def _terrain_cols(xyuv, indices, heights, view, proj, spacing, exaggeration,
-                  width, height, fs_mode):
+                  width, height, fs_mode, grid_n=None):
     """Vertex transform + triangle setup, returning the raw column vectors
     (no (T, 40) record materialization -- the packed stream is emitted
-    straight from these)."""
+    straight from these). grid_n: when the mesh is build_grid_xyuv(grid_n)
+    (Scene/TerrainSpike/spike benchmarks), triangle setup uses gather-free
+    strided corner slices (setup_cols_grid; the three row gathers cost
+    ~69 ms/frame at 2.1M triangles)."""
     if fs_mode == "shipped":
         clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
                                               spacing, exaggeration)
@@ -225,17 +231,36 @@ def _terrain_cols(xyuv, indices, heights, view, proj, spacing, exaggeration,
         clip = (world @ view.T) @ proj.T
         varyings = jnp.stack([h, xyuv[:, 2], xyuv[:, 3]], axis=-1)
     xf, yf, _z, w = clip_to_fb(clip, width, height)
-    cols, bbox = setup_cols(xf, yf, _z, w, varyings, indices, width, height)
+    if _grid_split_ok(grid_n, indices):
+        from .setup import setup_cols_grid
+        cols, bbox, _meta = setup_cols_grid(xf, yf, _z, w, varyings, grid_n,
+                                            width, height)
+    else:
+        cols, bbox = setup_cols(xf, yf, _z, w, varyings, indices,
+                                width, height)
     return tuple(cols), bbox
 
 
+def _grid_split_ok(grid_n, indices) -> bool:
+    """Gather-free split-grid setup applies when the mesh is a
+    build_grid_xyuv(grid_n) grid, ids fit one f32 (< 2^24), and the mesh
+    is large enough that the removed row gathers (~33 B/tri x 16 lane-pad
+    x 3 corners) outweigh the split layout's doubled per-entry worklist
+    overhead (measured crossover ~400K triangles: grid=1024 527 vs
+    629 ms/b4 split vs gathered; grid=128 is FASTER gathered)."""
+    if grid_n is None:
+        return False
+    t = 2 * (grid_n - 1) * (grid_n - 1)
+    return int(indices.shape[0]) == t and 400_000 <= t < (1 << 24)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "row_size", "fs_mode", "use_pallas"))
+    "width", "height", "row_size", "fs_mode", "use_pallas", "grid_n"))
 def _terrain_render_batch_packed(xyuv, indices, heights, views, projs, lut,
                                  h_min, h_max, exposure, sun_dir, spacing,
                                  exaggeration, width, height, row_size,
                                  fs_mode="shipped", nspacing=None,
-                                 use_pallas=True):
+                                 use_pallas=True, grid_n=None):
     """Batched packed-stream strip-walk path: B frames in one dispatch, one
     pallas_call, 128 B/triangle of HBM traffic (4x less than the strips
     row-record stream), no data-dependent shapes. The round-3 dense-mesh
@@ -245,16 +270,25 @@ def _terrain_render_batch_packed(xyuv, indices, heights, views, projs, lut,
 
     def prep(view, proj):
         return _terrain_cols(xyuv, indices, heights, view, proj, spacing,
-                             exaggeration, width, height, fs_mode)
+                             exaggeration, width, height, fs_mode,
+                             grid_n=grid_n)
 
     cols_b, bbox_b = jax.vmap(prep)(views, projs)
+    if _grid_split_ok(grid_n, indices):
+        from .setup import grid_split_ids
+        eff_row_size, tri_ids = grid_split_ids(grid_n)
+        id_stride = 2
+    else:
+        eff_row_size, tri_ids, id_stride = row_size, None, 1
     if use_pallas:
         v0, v1, v2, mask = packed.render_gbuffer_packed_batch(
-            cols_b, bbox_b, row_size, width, height)
+            cols_b, bbox_b, eff_row_size, width, height,
+            tri_ids=tri_ids, id_stride=id_stride)
     else:
         v0, v1, v2, mask = jax.vmap(
             lambda cb, bb: packed.render_gbuffer_packed_ref(
-                cb, bb, row_size, width, height)
+                cb, bb, eff_row_size, width, height,
+                tri_ids=tri_ids, id_stride=id_stride)
         )(cols_b, bbox_b)
     if fs_mode == "shipped":
         h_range = h_max - h_min
@@ -453,6 +487,7 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
                       h_min, h_max, exposure, sun_dir, lut, width: int, height: int,
                       fs_mode: str = "shipped", normal_spacing=None,
                       backend: Optional[str] = None, row_size: "int | None" = None,
+                      grid_n: "int | None" = None,
                       as_device: bool = False) -> np.ndarray:
     """Render the terrain pipeline to an (H, W, 4) uint8 numpy array.
 
@@ -501,7 +536,7 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
         img_u32 = _terrain_render_batch_packed(
             xyuv, indices, heights, view[None], proj[None], lut, h_min,
             h_max, exposure, sun_dir, spacing, exaggeration, width, height,
-            rs, fs_mode=fs_mode, nspacing=nsp)[0]
+            rs, fs_mode=fs_mode, nspacing=nsp, grid_n=grid_n)[0]
         if as_device:
             return img_u32
         return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))

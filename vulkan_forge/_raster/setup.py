@@ -156,15 +156,130 @@ def setup_cols(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
     # Pack all per-vertex data into one matrix and gather ROWS per corner:
     # three (T, 8)-row gathers lower to fast strided DMA gathers, unlike
     # eighteen independent 1-D element gathers (~30x slower on TPU).
+    # (Even row gathers cost ~69 ms/frame at 2.1M triangles -- grid meshes
+    # should use setup_cols_grid, which replaces them with strided slices.)
     vmat = jnp.stack([x_fb, y_fb, w_clip,
                       varyings[:, 0], varyings[:, 1], varyings[:, 2],
                       z_ndc, jnp.zeros_like(x_fb)], axis=-1)
     c0 = vmat[v0]  # (T, 8)
     c1 = vmat[v1]
     c2 = vmat[v2]
-    x0, y0, w0, zn0 = c0[:, 0], c0[:, 1], c0[:, 2], c0[:, 6]
-    x1, y1, w1, zn1 = c1[:, 0], c1[:, 1], c1[:, 2], c1[:, 6]
-    x2, y2, w2, zn2 = c2[:, 0], c2[:, 1], c2[:, 2], c2[:, 6]
+    return setup_cols_from_corners(c0, c1, c2, width, height,
+                                   fill_rule=fill_rule, _presnapped=True)
+
+
+def setup_cols_grid(x_fb, y_fb, z_ndc, w_clip, varyings, grid_n: int,
+                    width: int, height: int, fill_rule: str = "inclusive"):
+    """Gather-free triangle setup for build_grid_xyuv meshes, in a
+    PERMUTED "split-row" stream order.
+
+    The spike grid's triangles are [a, c, b] / [b, c, d] per cell
+    (_mesh.build_grid_xyuv, parity src/terrain/mod.rs:582): each corner's
+    vertex data is a strided SLICE of the (n, n) vertex field. The
+    gathered path materializes (T, 8) corner matrices, which pad to 128
+    lanes physically -- 16x memory, ~69 ms/frame at 2.1M triangles.
+    Instead of interleaving the two in-cell triangles (any (..., 2) or
+    (..., 8)-minor interleave hits the same padding trap), this path
+    keeps per-corner per-FIELD arrays 2-D (pure pad+concat of slices)
+    and emits a PERMUTED triangle stream:
+
+      stream row q < cells:  mesh row q, diagonal k=0 triangles
+      stream row q >= cells: mesh row q - cells, k=1 triangles
+      (each stream row padded from `cells` to rs2 = ceil32(cells) slots;
+      pad slots have all-zero fields => invalid)
+
+    The doubled stream-row count doubles the per-column worklist entries
+    (each entry pays a DMA-ring prime/drain, ~4 us): a measured win only
+    when the gathers it removes are big. The pipeline gates this path to
+    large grids (pipeline._grid_split_ok); a lane-concatenated one-row
+    variant measured WORSE at grid=1024 (the cross-half interval gap
+    wastes slab DMA bytes).
+
+    True draw-order painter ids (r*row_size + 2*pos + k) ride along as
+    ``tri_ids`` (consumed by packed.build_packed_stream, which stamps
+    each 8-triangle block's base id into meta sublane 4; in-block stride
+    is 2). Pixels are byte-identical to the draw-order stream: coverage
+    is exact and the painter max runs over TRUE ids.
+
+    Returns (cols, bbox, grid_meta) where grid_meta =
+    {"row_size": rs2, "tri_ids": (T2,) int32, "id_stride": 2}.
+    """
+    n = grid_n
+    cells = n - 1
+    rs2 = -(-cells // 32) * 32         # slots per half (whole supers)
+    if fill_rule == "hw":
+        x_fb = jnp.round(x_fb * _HW_SNAP) * jnp.float32(1.0 / _HW_SNAP)
+        y_fb = jnp.round(y_fb * _HW_SNAP) * jnp.float32(1.0 / _HW_SNAP)
+
+    zero = jnp.zeros_like(x_fb)
+    fields = (x_fb, y_fb, w_clip, varyings[:, 0], varyings[:, 1],
+              varyings[:, 2], z_ndc, zero)
+
+    def halves(f2, k0_slice, k1_slice):
+        P = jnp.pad(f2[k0_slice], ((0, 0), (0, rs2 - cells)))
+        Q = jnp.pad(f2[k1_slice], ((0, 0), (0, rs2 - cells)))
+        return jnp.concatenate([P, Q], axis=0).reshape(2 * cells * rs2)
+
+    A = (slice(None, -1), slice(None, -1))   # (r, c)
+    B = (slice(None, -1), slice(1, None))    # (r, c+1)
+    C = (slice(1, None), slice(None, -1))    # (r+1, c)
+    D = (slice(1, None), slice(1, None))     # (r+1, c+1)
+
+    # tri0 = [a, c, b] (k=0 half), tri1 = [b, c, d] (k=1 half)
+    corners = []
+    for (k0, k1) in ((A, B), (C, C), (B, D)):
+        fs = []
+        for f in fields:
+            f2 = f.reshape(n, n)
+            fs.append(halves(f2, k0, k1))
+        corners.append(tuple(fs))
+
+    cols, bbox = _setup_cols_fields(corners[0], corners[1], corners[2],
+                                    width, height, fill_rule=fill_rule)
+
+    rs2_, tri_ids = grid_split_ids(grid_n)
+    return cols, bbox, {"row_size": rs2_, "tri_ids": tri_ids,
+                        "id_stride": 2}
+
+
+def grid_split_ids(grid_n: int):
+    """(stream row size, (T2,) true painter ids) for setup_cols_grid's
+    split-row stream order (camera-independent)."""
+    cells = grid_n - 1
+    rs2 = -(-cells // 32) * 32
+    rows2 = 2 * cells
+    pos = jnp.arange(rs2, dtype=jnp.int32)[None, :]
+    q = jnp.arange(rows2, dtype=jnp.int32)[:, None]
+    r = jnp.where(q < cells, q, q - cells)
+    k = jnp.where(q < cells, 0, 1)
+    return rs2, (r * (2 * cells) + 2 * pos + k).reshape(-1)
+
+
+def setup_cols_from_corners(c0, c1, c2, width: int, height: int,
+                            fill_rule: str = "inclusive",
+                            _presnapped: bool = False):
+    """Core triangle setup from per-corner (T, 8) vertex matrices
+    (columns: x_fb, y_fb, w_clip, var0, var1, var2, z_ndc, 0)."""
+    if fill_rule == "hw" and not _presnapped:
+        snap = lambda v: jnp.round(v * _HW_SNAP) * jnp.float32(1.0 / _HW_SNAP)
+        c0 = c0.at[:, 0].set(snap(c0[:, 0])).at[:, 1].set(snap(c0[:, 1]))
+        c1 = c1.at[:, 0].set(snap(c1[:, 0])).at[:, 1].set(snap(c1[:, 1]))
+        c2 = c2.at[:, 0].set(snap(c2[:, 0])).at[:, 1].set(snap(c2[:, 1]))
+    return _setup_cols_fields(
+        tuple(c0[:, j] for j in range(8)),
+        tuple(c1[:, j] for j in range(8)),
+        tuple(c2[:, j] for j in range(8)),
+        width, height, fill_rule=fill_rule)
+
+
+def _setup_cols_fields(c0, c1, c2, width: int, height: int,
+                       fill_rule: str = "inclusive"):
+    """Triangle setup from per-corner per-FIELD (T,) vectors (field order:
+    x_fb, y_fb, w_clip, var0, var1, var2, z_ndc, zero). Coordinates must
+    already be snapped when fill_rule == "hw"."""
+    x0, y0, w0, zn0 = c0[0], c0[1], c0[2], c0[6]
+    x1, y1, w1, zn1 = c1[0], c1[1], c1[2], c1[6]
+    x2, y2, w2, zn2 = c2[0], c2[1], c2[2], c2[6]
 
     # Signed double area, math shoelace in framebuffer (y-down) coords.
     area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
@@ -251,7 +366,6 @@ def setup_cols(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
 
     valid = front & finite & any_near & any_w & any_far & covers
 
-    T = indices.shape[0]
     # SIGNED reciprocals: negative-w vertices keep their sign so the
     # projective interpolation functionals stay exact on the clipped region.
     def srw(w):
@@ -280,8 +394,8 @@ def setup_cols(x_fb, y_fb, z_ndc, w_clip, varyings, indices,
         x0, y0, (y1 - y0) * s2, (x1 - x0) * s2,    # edge opp v2
     ]
     for k in range(3):
-        cols += [c0[:, 3 + k] * rw0 * t0, c1[:, 3 + k] * rw1 * t1,
-                 c2[:, 3 + k] * rw2 * t2]
+        cols += [c0[3 + k] * rw0 * t0, c1[3 + k] * rw1 * t1,
+                 c2[3 + k] * rw2 * t2]
     cols += [rw0 * t0, rw1 * t1, rw2 * t2, valid.astype(jnp.float32)]
     cols += [zn0 * t0, zn1 * t1, zn2 * t2]         # near-clip functional
     cols += [t0, t1, t2]                           # constant-1 (far clip)

@@ -97,7 +97,8 @@ class _TerrainObjectBase:
             h_min=g.h_min, h_max=g.h_max,
             exposure=g.exposure, sun_dir=g.sun_dir,
             lut=self._lut, width=self.width, height=self.height,
-            fs_mode="shipped", row_size=2 * (self.grid - 1))
+            fs_mode="shipped", row_size=2 * (self.grid - 1),
+            grid_n=self.grid)
 
     def render_png(self, path: str) -> None:
         save_png_rgba(str(path), self.render_rgba())
