@@ -10,9 +10,10 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=1100):
+def _run(args, timeout=2400):
     # Generous timeout: child processes may wait on the TPU device lock
-    # while other tests hold it, plus cold XLA compiles.
+    # while other tests hold it, plus cold remote-tunnel XLA compiles
+    # (30-120 s per shape; a fingerprint-fresh cache can need several).
     return subprocess.run([sys.executable] + args, cwd=REPO, timeout=timeout,
                           capture_output=True, text=True)
 
