@@ -117,6 +117,55 @@ def test_packed_stream_tables():
         assert wl_n[0, :2].tolist() == [1, 1]
 
 
+def test_packed_gap_coalescing(monkeypatch):
+    # VF_PACKED_GAP merges near-adjacent per-row intervals into one entry;
+    # coverage work only grows (idempotent under the painter max), so the
+    # tables must span every super the uncoalesced worklist spans.
+    from vulkan_forge._raster import packed
+
+    with jax.default_device(_cpu()):
+        T, row_size = 128, 32         # 4 mesh rows, 1 super per row
+        W, H = 256, 32
+        bbox = np.tile(np.array([10_000, -1, 10_000, -1], np.int32), (T, 1))
+        bbox[0] = (0, 5, 0, 5)        # row 0 -> super 0, col 0
+        bbox[33] = (2, 9, 9, 25)      # row 1 -> super 1, col 0
+        bbox[100] = (90, 120, 26, 30) # row 3 -> super 3, col 0 (gap of 1)
+        cols = tuple(jnp.zeros((T,), jnp.float32) for _ in range(31))
+
+        monkeypatch.setenv("VF_PACKED_GAP", "1")
+        _, wl_start, wl_n, counts = packed.build_packed_stream(
+            cols, jnp.asarray(bbox), row_size, W, H)
+        assert np.asarray(counts)[0] == 1           # 0,1 + gap + 3 merged
+        assert np.asarray(wl_start)[0, 0] == 0
+        assert np.asarray(wl_n)[0, 0] == 4          # spans supers 0..3
+
+        monkeypatch.setenv("VF_PACKED_GAP", "0")
+        _, wl_start0, wl_n0, counts0 = packed.build_packed_stream(
+            cols, jnp.asarray(bbox), row_size, W, H)
+        assert np.asarray(counts0)[0] == 3          # uncoalesced: 3 entries
+
+
+def test_packed_gap_parity(monkeypatch):
+    # End-to-end: the coalesced walk is byte-identical to the tile oracle
+    # (merged entries only re-walk supers, never change winners).
+    from vulkan_forge._raster import packed
+    from vulkan_forge._raster.setup import setup_cols
+
+    monkeypatch.setenv("VF_PACKED_GAP", "4")
+    x, y, z, w, vary, indices = _spike(16, 160, 120, (0.9, 0.25, 0.7))
+    cols, bbox = setup_cols(x, y, z, w, vary, indices, 160, 120)
+    ref = _oracle(x, y, z, w, vary, indices, 160, 120)
+    got = packed.render_gbuffer_packed_ref(
+        tuple(cols), bbox, 2 * (16 - 1), 160, 120)
+    on_cpu = jax.default_backend() == "cpu"
+    for a, b in zip(ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        if on_cpu and a.dtype != np.bool_:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
 def test_setup_cols_grid_matches_gathered():
     # The gather-free split-row grid setup must reproduce setup_cols'
     # columns and bboxes bit-for-bit under its stream permutation (both

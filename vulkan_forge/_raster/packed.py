@@ -154,24 +154,47 @@ def build_packed_stream(cols, bbox, row_size: int, width: int, height: int,
     stream = jnp.pad(stream, ((0, (supers_pad - supers) * 8), (0, 0)))
 
     # --- per (column, mesh-row) super intervals (conservative min..max;
-    # stamped per-block tx ranges + coverage reject the extras)
+    # stamped per-block tx ranges + coverage reject the extras). One
+    # vectorized (NTX, ROWS, SPR) pass instead of a per-column op chain.
     s_tx0 = jnp.min(jnp.where(b_any, b_tx0, big), axis=1)    # (SUPERS,)
     s_tx1 = jnp.max(jnp.where(b_any, b_tx1, -big), axis=1)
-    sidx = jnp.arange(spr, dtype=jnp.int32)[None, :]
-    t0r = s_tx0.reshape(rows, spr)
-    t1r = s_tx1.reshape(rows, spr)
-    starts = []
-    lens = []
-    for tx in range(ntx):
-        ov = (t0r <= tx) & (tx <= t1r)
-        slo = jnp.min(jnp.where(ov, sidx, spr), axis=1)      # (ROWS,)
-        shi = jnp.max(jnp.where(ov, sidx, -1), axis=1)
-        starts.append(jnp.arange(rows, dtype=jnp.int32) * spr + slo)
-        lens.append(jnp.maximum(shi - slo + 1, 0))
-    start_rc = jnp.stack(starts)                             # (NTX, ROWS)
-    n_rc = jnp.stack(lens).astype(jnp.int32)
+    sidx = jnp.arange(spr, dtype=jnp.int32)[None, None, :]
+    t0r = s_tx0.reshape(1, rows, spr)
+    t1r = s_tx1.reshape(1, rows, spr)
+    txs = jnp.arange(ntx, dtype=jnp.int32)[:, None, None]
+    ov = (t0r <= txs) & (txs <= t1r)                         # (NTX,ROWS,SPR)
+    slo = jnp.min(jnp.where(ov, sidx, spr), axis=2)          # (NTX, ROWS)
+    shi = jnp.max(jnp.where(ov, sidx, -1), axis=2)
+    start_rc = jnp.arange(rows, dtype=jnp.int32)[None, :] * spr + slo
+    n_rc = jnp.maximum(shi - slo + 1, 0).astype(jnp.int32)
 
     nonempty = n_rc > 0
+    gap = int(os.environ.get("VF_PACKED_GAP", "0"))
+    if gap > 0:
+        # Entry coalescing: merge an interval into its predecessor when the
+        # super-index gap between them is <= gap. Each worklist entry pays a
+        # DMA-ring prime/drain (~4 us) in the kernel, so at moderate grids
+        # (few supers per mesh row, hundreds of rows) per-entry overhead
+        # dominates; walking the gap supers instead is idempotent (coverage
+        # is exact, painter merge is a max), so pixels are byte-identical.
+        e_rc = start_rc + n_rc                   # exclusive interval ends
+        e_mask = jnp.where(nonempty, e_rc, -big)
+        prev_end = jax.lax.cummax(
+            jnp.concatenate([jnp.full((ntx, 1), -big, jnp.int32),
+                             e_mask[:, :-1]], axis=1), axis=1)
+        new_grp = nonempty & (start_rc - prev_end > gap)
+        gid = jnp.cumsum(new_grp.astype(jnp.int32), axis=1) - 1
+        colix = jnp.broadcast_to(
+            jnp.arange(ntx, dtype=jnp.int32)[:, None], (ntx, rows))
+        g_set = jnp.where(new_grp, gid, rows)    # OOB sentinel -> dropped
+        g_max = jnp.where(nonempty, gid, rows)
+        wl_start = (jnp.zeros((ntx, rows + 1), jnp.int32)
+                    .at[colix, g_set].set(start_rc, mode="drop")[:, :rows])
+        wl_end = (jnp.zeros((ntx, rows + 1), jnp.int32)
+                  .at[colix, g_max].max(e_mask, mode="drop")[:, :rows])
+        wl_n = jnp.maximum(wl_end - wl_start, 0)
+        counts = jnp.sum(new_grp.astype(jnp.int32), axis=1)  # (NTX,)
+        return stream, wl_start, wl_n, counts
     order = jnp.argsort(~nonempty, axis=1, stable=True)
     wl_start = jnp.take_along_axis(start_rc, order, axis=1)
     wl_n = jnp.take_along_axis(n_rc, order, axis=1)
@@ -229,8 +252,15 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
         def slab_start(s):
             return jnp.minimum(start + s * _SLAB, max_slab)
 
+        # Prime/prefetch only slabs that exist: most entries span ONE slab
+        # (a mesh row's supers in one column), and an unguarded ring moves
+        # _RING + 1 slabs per entry -- ~3x the useful bytes. Every started
+        # DMA is waited exactly once in slab_body, so nothing is left in
+        # flight at entry end (no drain; CLAUDE.md DMA-ring rule).
         for k in range(_RING):
-            dma(slab_start(jnp.int32(k)), k).start()
+            @pl.when(k < nslab)
+            def _prime(k=k):
+                dma(slab_start(jnp.int32(k)), k).start()
 
         def slab_body(s, carry2):
             slot = jax.lax.rem(s, _RING)
@@ -435,13 +465,13 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                 jax.lax.fori_loop(0, ntr, trip, 0)
 
             jax.lax.fori_loop(0, _SLAB, sup_body, 0)
-            dma(slab_start(s + _RING), slot).start()
+
+            @pl.when(s + _RING < nslab)
+            def _prefetch():
+                dma(slab_start(s + _RING), slot).start()
             return carry2
 
         jax.lax.fori_loop(0, nslab, slab_body, 0)
-        # drain the ring (RING outstanding starts per entry)
-        for k in range(_RING):
-            dma(slab_start(jnp.int32(k)), k).wait()
         return carry
 
     jax.lax.fori_loop(0, n_entries, entry_body, 0)
@@ -503,8 +533,11 @@ def _packed_id_kernel(counts_ref,                    # SMEM prefetch (B*NTX,)
         def slab_start(s):
             return jnp.minimum(start + s * _SLAB, max_slab)
 
+        # Guarded ring: see _packed_kernel (no drain needed).
         for k in range(_RING):
-            dma(slab_start(jnp.int32(k)), k).start()
+            @pl.when(k < nslab)
+            def _prime(k=k):
+                dma(slab_start(jnp.int32(k)), k).start()
 
         def slab_body(s, carry2):
             slot = jax.lax.rem(s, _RING)
@@ -560,12 +593,13 @@ def _packed_id_kernel(counts_ref,                    # SMEM prefetch (B*NTX,)
                 jax.lax.fori_loop(0, ntr, trip, 0)
 
             jax.lax.fori_loop(0, _SLAB, sup_body, 0)
-            dma(slab_start(s + _RING), slot).start()
+
+            @pl.when(s + _RING < nslab)
+            def _prefetch():
+                dma(slab_start(s + _RING), slot).start()
             return carry2
 
         jax.lax.fori_loop(0, nslab, slab_body, 0)
-        for k in range(_RING):
-            dma(slab_start(jnp.int32(k)), k).wait()
         return carry
 
     jax.lax.fori_loop(0, n_entries, entry_body, 0)
