@@ -86,7 +86,7 @@ def s_stream(views, projs):
     rs = RS2 if RS2 is not None else RS
 
     def one(cols, bbox):
-        stream, wls, wln, cnt = pk.build_packed_stream(
+        stream, wls, wln, cnt, _nf = pk.build_packed_stream(
             cols, bbox, rs, W, H, tri_ids=TRI_IDS)
         return (jnp.sum(stream), jnp.sum(wls) + jnp.sum(wln)
                 + jnp.sum(cnt))

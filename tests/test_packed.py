@@ -94,7 +94,7 @@ def test_packed_stream_tables():
         bbox[9] = (130, 140, 9, 25)   # row 0, block 1: col 1, ty 1..3
         bbox[40] = (100, 135, 26, 30) # row 1, block 1: cols 0-1, ty 3
         cols = tuple(jnp.zeros((T,), jnp.float32) for _ in range(31))
-        stream, wl_start, wl_n, counts = packed.build_packed_stream(
+        stream, wl_start, wl_n, counts, _nf = packed.build_packed_stream(
             cols, jnp.asarray(bbox), row_size, W, H)
         stream = np.asarray(stream)
         # supers = 2; block (s=0, g=0) meta: ty0=0, ntrips=1, tx0=0, tx1=0
@@ -133,14 +133,14 @@ def test_packed_gap_coalescing(monkeypatch):
         cols = tuple(jnp.zeros((T,), jnp.float32) for _ in range(31))
 
         monkeypatch.setenv("VF_PACKED_GAP", "1")
-        _, wl_start, wl_n, counts = packed.build_packed_stream(
+        _, wl_start, wl_n, counts, _nf = packed.build_packed_stream(
             cols, jnp.asarray(bbox), row_size, W, H)
         assert np.asarray(counts)[0] == 1           # 0,1 + gap + 3 merged
         assert np.asarray(wl_start)[0, 0] == 0
         assert np.asarray(wl_n)[0, 0] == 4          # spans supers 0..3
 
         monkeypatch.setenv("VF_PACKED_GAP", "0")
-        _, wl_start0, wl_n0, counts0 = packed.build_packed_stream(
+        _, wl_start0, wl_n0, counts0, _nf0 = packed.build_packed_stream(
             cols, jnp.asarray(bbox), row_size, W, H)
         assert np.asarray(counts0)[0] == 3          # uncoalesced: 3 entries
 

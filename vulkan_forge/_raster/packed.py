@@ -60,6 +60,18 @@ META = NUM_COLS   # meta lane offset within a group (= 31)
 # ~5-10 us fixed per-DMA cost this environment measures.
 _SLAB = int(os.environ.get("VF_PACKED_SLAB", "8"))
 _RING = 2         # DMA ring depth
+# Unroll the per-slab super loop into straight-line code with STATIC
+# scratch offsets (default on; VF_PACKED_UNROLL=0 restores the fori):
+# Mosaic's dynamic sublane addressing costs per-access overhead that an
+# 8-way unroll removes -- measured +14% at grid=128 (34.3 -> 39.3
+# Mpix/s), +2% at grid=1024. Byte-identical by construction (same ops,
+# same order, per-super pl.when guards replacing loop bounds).
+_UNROLL = os.environ.get("VF_PACKED_UNROLL", "1") == "1"
+# DIAGNOSTIC knobs (break parity; timing experiments only):
+#   VF_PACKED_NODMA=1  skip all stream DMAs (pure walk/compute time)
+#   VF_PACKED_NOEVAL=1 skip the super walk (pure DMA/loop time)
+_NODMA = os.environ.get("VF_PACKED_NODMA", "0") == "1"
+_NOEVAL = os.environ.get("VF_PACKED_NOEVAL", "0") == "1"
 
 
 def build_packed_stream(cols, bbox, row_size: int, width: int, height: int,
@@ -78,7 +90,8 @@ def build_packed_stream(cols, bbox, row_size: int, width: int, height: int,
     its static id_stride).
 
     Returns (stream (SUPERS_PAD*8, 128) f32, wl_start (NTX, ROWS) int32
-    absolute super index, wl_n (NTX, ROWS) int32, counts (NTX,) int32).
+    absolute super index, wl_n (NTX, ROWS) int32, counts (NTX,) int32,
+    nflat (NTX,) int32 total DMA slabs = sum(ceil(wl_n/_SLAB))).
     """
     T = bbox.shape[0]
     ntx = -(-width // tile_w)
@@ -194,12 +207,16 @@ def build_packed_stream(cols, bbox, row_size: int, width: int, height: int,
                   .at[colix, g_max].max(e_mask, mode="drop")[:, :rows])
         wl_n = jnp.maximum(wl_end - wl_start, 0)
         counts = jnp.sum(new_grp.astype(jnp.int32), axis=1)  # (NTX,)
-        return stream, wl_start, wl_n, counts
+        nflat = jnp.sum((wl_n + _SLAB - 1) // _SLAB, axis=1)
+        return stream, wl_start, wl_n, counts, nflat
     order = jnp.argsort(~nonempty, axis=1, stable=True)
     wl_start = jnp.take_along_axis(start_rc, order, axis=1)
     wl_n = jnp.take_along_axis(n_rc, order, axis=1)
     counts = jnp.sum(nonempty.astype(jnp.int32), axis=1)     # (NTX,)
-    return stream, wl_start, wl_n, counts
+    # total DMA slabs per column: drives the kernels' flat software
+    # pipeline (fetch cursor _RING slabs ahead of the compute cursor)
+    nflat = jnp.sum((wl_n + _SLAB - 1) // _SLAB, axis=1)
+    return stream, wl_start, wl_n, counts, nflat
 
 
 def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
@@ -242,239 +259,291 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
             stream_ref.at[pl.ds((frame_base + slab_sup) * 8, _SLAB * 8), :],
             scratch.at[slot], sem.at[slot])
 
-    n_entries = counts_ref[prog]
+    # Flat software pipeline ACROSS worklist entries. The per-entry ring
+    # of earlier rounds primed its DMAs at each entry start and stalled
+    # on the first wait: at grid=1024 (~1K entries/column/frame) that
+    # serialized issue+latency against compute -- measured 2.5x the sum
+    # of the kernel's pure-compute and pure-DMA times. Here a FETCH
+    # cursor (ef, jf) = (entry, slab-within-entry) runs _RING slabs ahead
+    # of the compute cursor (ec, jc): every slab's fetch is issued while
+    # the preceding slabs are still being walked, so only the first
+    # _RING fetches ever expose latency. Slot k%_RING is refilled
+    # strictly after its last read (CLAUDE.md DMA-ring rule).
+    n_entries = counts_ref[0, prog]
+    nflat = counts_ref[1, prog]
+    del n_entries  # iteration is driven by the flat slab count
+    emax = wls_ref.shape[2] - 1
 
-    def entry_body(e, carry):
-        start = wls_ref[0, 0, e, 0]
-        n = wln_ref[0, 0, e, 0]
-        nslab = jax.lax.div(n + _SLAB - 1, _SLAB)
+    def entry_info(e):
+        ec = jnp.minimum(e, emax)        # clamp: cursor may run past end
+        return wls_ref[0, 0, ec, 0], wln_ref[0, 0, ec, 0]
 
-        def slab_start(s):
-            return jnp.minimum(start + s * _SLAB, max_slab)
+    def advance(e, j):
+        _, n = entry_info(e)
+        nsl = jax.lax.div(n + _SLAB - 1, _SLAB)
+        wrap = j + 1 >= nsl
+        return (jnp.where(wrap, e + 1, e),
+                jnp.where(wrap, jnp.int32(0), j + 1))
 
-        # Prime/prefetch only slabs that exist: most entries span ONE slab
-        # (a mesh row's supers in one column), and an unguarded ring moves
-        # _RING + 1 slabs per entry -- ~3x the useful bytes. Every started
-        # DMA is waited exactly once in slab_body, so nothing is left in
-        # flight at entry end (no drain; CLAUDE.md DMA-ring rule).
-        for k in range(_RING):
-            @pl.when(k < nslab)
-            def _prime(k=k):
-                dma(slab_start(jnp.int32(k)), k).start()
+    def fetch(e, j, slot):
+        start, _ = entry_info(e)
+        dma(jnp.minimum(start + j * _SLAB, max_slab), slot).start()
 
-        def slab_body(s, carry2):
-            slot = jax.lax.rem(s, _RING)
-            dma(slab_start(s), slot).wait()
-            base_sup = slab_start(s)
+    def flat_walk(do_sup):
+        ef = jnp.int32(0)
+        jf = jnp.int32(0)
+        if not _NODMA:
+            for k in range(_RING):
+                @pl.when(k < nflat)
+                def _prime(k=k, e=ef, j=jf):
+                    fetch(e, j, k)
+                ef, jf = advance(ef, jf)
+
+        def flat_body(k, carry):
+            ec, jc, ef, jf = carry
+            slot = jax.lax.rem(k, _RING)
+            start, n = entry_info(ec)
+            base_sup = jnp.minimum(start + jc * _SLAB, max_slab)
+            if not _NODMA:
+                dma(base_sup, slot).wait()
+            # Walk ONLY the entry's supers inside this slab: the slab may
+            # hold extras before (frame-end clamp) or after (ceil-to-slab
+            # tail) the range [start, start+n). Tail supers belong to the
+            # NEXT mesh rows; walking them is idempotent but re-pays
+            # evaluation their own entry already pays.
+            lo = start + jc * _SLAB - base_sup
+            hi = jnp.minimum(start + n - base_sup, _SLAB)
 
             def sup_body(c, carry3):
-                rec = scratch[slot, pl.ds(c * 8, 8), :]   # (8, 128)
-                sup = base_sup + c
-                r = jax.lax.div(sup, spr)
-                sup_id0 = r * row_size + (sup - r * spr) * SUPER_T
-                if merged and not exact_ids:
-                    _do_super_merged(rec, sup_id0)
-                else:
-                    for g in range(GROUPS):
-                        _do_group(rec, g, sup_id0)
+                do_sup(scratch[slot, pl.ds(c * 8, 8), :], base_sup + c)
                 return carry3
 
-            def _do_super_merged(rec, sup_id0):
-                # All 4 groups of a super walked in ONE trip loop over the
-                # union of their tile-row spans: the per-trip py build,
-                # accumulator RMW and loop overhead are paid once per
-                # super instead of once per 8-triangle block. Groups of a
-                # dense-mesh super are consecutive draw-order triangles,
-                # so their y spans nearly coincide (little wasted eval);
-                # coverage stays exact, so the merge is byte-identical.
-                big = jnp.int32(1 << 20)
-                ty0s = big
-                tyend = jnp.int32(0)
-                for g in range(GROUPS):
-                    base = g * PCOLS
-                    ty0g = rec[0, base + META].astype(jnp.int32)
-                    ntrg = rec[1, base + META].astype(jnp.int32)
-                    bx0 = rec[2, base + META]
-                    bx1 = rec[3, base + META]
-                    ntrg = jnp.where((bx0 <= txf) & (txf <= bx1), ntrg, 0)
-                    ty0s = jnp.minimum(ty0s, jnp.where(ntrg > 0, ty0g, big))
-                    tyend = jnp.maximum(tyend,
-                                        jnp.where(ntrg > 0, ty0g + ntrg, 0))
-                ty0u = jnp.minimum(ty0s, tyend)
-                ntr_u = jnp.maximum(tyend - ty0u, 0)
-
-                Cs = [[rec[:, g * PCOLS + k].reshape(1, GBLOCK, 1)
-                       for k in range(NUM_COLS)] for g in range(GROUPS)]
-                if id_meta:
-                    # true painter ids stamped per block (meta sublane 4);
-                    # all values < 2^24 so the f32 math is exact
-                    lane_f = lane_ids.astype(jnp.float32)
-                    ids_g = [rec[4, g * PCOLS + META]
-                             + jnp.float32(id_stride) * lane_f
-                             for g in range(GROUPS)]
+            if not _NOEVAL:
+                if _UNROLL:
+                    for c in range(_SLAB):
+                        @pl.when((c >= lo) & (c < hi))
+                        def _one(c=c):
+                            do_sup(scratch[slot, c * 8:(c + 1) * 8, :],
+                                   base_sup + c)
                 else:
-                    ids_g = [(sup_id0 + g * GBLOCK + lane_ids)
-                             .astype(jnp.float32) for g in range(GROUPS)]
+                    jax.lax.fori_loop(lo, hi, sup_body, 0)
 
-                def trip(t, carry4):
-                    ty = ty0u + t
-                    py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
-                          .astype(jnp.float32)
-                          + (ty * 8).astype(jnp.float32) + 0.5)
-                    # Per-group candidate eval, then a SUBLANE-WISE select
-                    # chain across groups (ids ascend with g, so larger id
-                    # wins) and ONE cross-sublane one-hot resolve for all
-                    # 32 triangles -- instead of four max/one-hot/sum
-                    # reduction sets. The surviving one-hot sum still has
-                    # exactly one term, so values stay bit-exact.
-                    mid = None
-                    for g in range(GROUPS):
-                        C = Cs[g]
+            if not _NODMA:
+                @pl.when(k + _RING < nflat)
+                def _prefetch():
+                    fetch(ef, jf, slot)
+            ec, jc = advance(ec, jc)
+            ef, jf = advance(ef, jf)
+            return (ec, jc, ef, jf)
 
-                        def col(k):
-                            return C[k]
+        jax.lax.fori_loop(0, nflat, flat_body,
+                          (jnp.int32(0), jnp.int32(0), ef, jf))
 
-                        f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
-                        f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
-                        f2 = (col(10) * (px - col(8))
-                              - col(11) * (py - col(9)))
-                        a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
-                        a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
-                        a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
-                        aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
-                        az = f0 * col(25) + f1 * col(26) + f2 * col(27)
-                        asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
-                        cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
-                               & (col(24) > 0.0)
-                               & (az >= 0.0) & (aw > 0.0)
-                               & (asum - az >= 0.0))
-                        cids = jnp.where(cov, ids_g[g] * jnp.ones_like(f0),
-                                         -1.0)
-                        cand = (cids, a0, a1, a2, aw)
-                        if mid is None:
-                            mid = cand
-                        else:
-                            take = cand[0] > mid[0]
-                            mid = tuple(jnp.where(take, n, m)
-                                        for n, m in zip(cand, mid))
-                    cids, a0, a1, a2, aw = mid
-                    wid = jnp.max(cids, axis=1, keepdims=True)
-                    sel = ((cids == wid) & (wid >= 0.0)).astype(jnp.float32)
-                    cid = wid[:, 0, :]
-                    c0 = jnp.sum(a0 * sel, axis=1)
-                    c1 = jnp.sum(a1 * sel, axis=1)
-                    c2 = jnp.sum(a2 * sel, axis=1)
-                    cw = jnp.sum(aw * sel, axis=1)
-                    sl = pl.ds(ty * 8, 8)
-                    acc_lo = aid_ref[sl, :]
-                    better = cid > acc_lo
-                    aid_ref[sl, :] = jnp.where(better, cid, acc_lo)
-                    a0_ref[sl, :] = jnp.where(better, c0, a0_ref[sl, :])
-                    a1_ref[sl, :] = jnp.where(better, c1, a1_ref[sl, :])
-                    a2_ref[sl, :] = jnp.where(better, c2, a2_ref[sl, :])
-                    aw_ref[sl, :] = jnp.where(better, cw, aw_ref[sl, :])
-                    return carry4
 
-                jax.lax.fori_loop(0, ntr_u, trip, 0)
+    def do_sup(rec, sup):
+        r = jax.lax.div(sup, spr)
+        sup_id0 = r * row_size + (sup - r * spr) * SUPER_T
+        if merged and not exact_ids:
+            _do_super_merged(rec, sup_id0)
+        else:
+            for g in range(GROUPS):
+                _do_group(rec, g, sup_id0)
 
-            def _do_group(rec, g, sup_id0):
-                base = g * PCOLS
+    def _do_super_merged(rec, sup_id0):
+        # All 4 groups of a super walked in ONE trip loop over the
+        # union of their tile-row spans: the per-trip py build,
+        # accumulator RMW and loop overhead are paid once per
+        # super instead of once per 8-triangle block. Groups of a
+        # dense-mesh super are consecutive draw-order triangles,
+        # so their y spans nearly coincide (little wasted eval);
+        # coverage stays exact, so the merge is byte-identical.
+        big = jnp.int32(1 << 20)
+        ty0s = big
+        tyend = jnp.int32(0)
+        for g in range(GROUPS):
+            base = g * PCOLS
+            ty0g = rec[0, base + META].astype(jnp.int32)
+            ntrg = rec[1, base + META].astype(jnp.int32)
+            bx0 = rec[2, base + META]
+            bx1 = rec[3, base + META]
+            ntrg = jnp.where((bx0 <= txf) & (txf <= bx1), ntrg, 0)
+            ty0s = jnp.minimum(ty0s, jnp.where(ntrg > 0, ty0g, big))
+            tyend = jnp.maximum(tyend,
+                                jnp.where(ntrg > 0, ty0g + ntrg, 0))
+        ty0u = jnp.minimum(ty0s, tyend)
+        ntr_u = jnp.maximum(tyend - ty0u, 0)
 
-                # Hoist record-column broadcasts out of the trip loop
-                # (Mosaic does not reliably CSE dynamic-ref reads across
-                # fori iterations; same scheduling as strips.py).
-                C = [rec[:, base + k].reshape(1, GBLOCK, 1)
-                     for k in range(NUM_COLS)]
+        # Zero-trip supers (conservative worklist extras whose
+        # stamped tx ranges miss this column) skip the record
+        # hoist entirely -- it is ~124 strided reads per super.
+        @pl.when(ntr_u > 0)
+        def _active_super():
+            _walk_super(rec, sup_id0, ty0u, ntr_u)
+
+    def _walk_super(rec, sup_id0, ty0u, ntr_u):
+        Cs = [[rec[:, g * PCOLS + k].reshape(1, GBLOCK, 1)
+               for k in range(NUM_COLS)] for g in range(GROUPS)]
+        if id_meta:
+            # true painter ids stamped per block (meta sublane 4);
+            # all values < 2^24 so the f32 math is exact
+            lane_f = lane_ids.astype(jnp.float32)
+            ids_g = [rec[4, g * PCOLS + META]
+                     + jnp.float32(id_stride) * lane_f
+                     for g in range(GROUPS)]
+        else:
+            ids_g = [(sup_id0 + g * GBLOCK + lane_ids)
+                     .astype(jnp.float32) for g in range(GROUPS)]
+
+        def trip(t, carry4):
+            ty = ty0u + t
+            py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+                  .astype(jnp.float32)
+                  + (ty * 8).astype(jnp.float32) + 0.5)
+            # Per-group candidate eval, then a SUBLANE-WISE select
+            # chain across groups (ids ascend with g, so larger id
+            # wins) and ONE cross-sublane one-hot resolve for all
+            # 32 triangles -- instead of four max/one-hot/sum
+            # reduction sets. The surviving one-hot sum still has
+            # exactly one term, so values stay bit-exact.
+            mid = None
+            for g in range(GROUPS):
+                C = Cs[g]
 
                 def col(k):
                     return C[k]
 
-                ty0 = rec[0, base + META].astype(jnp.int32)
-                ntr = rec[1, base + META].astype(jnp.int32)
-                bx0 = rec[2, base + META]
-                bx1 = rec[3, base + META]
-                # Zero-trip blocks whose bbox union misses this column: a
-                # skipped block costs ~25 ns, a walked one ~500 ns.
-                ntr = jnp.where((bx0 <= txf) & (txf <= bx1), ntr, 0)
-
-                ids_i = sup_id0 + g * GBLOCK + lane_ids   # (1,8,1) int32
-                if exact_ids:
-                    id_hi = (ids_i >> 12).astype(jnp.float32)
-                    id_lo = (ids_i & 4095).astype(jnp.float32)
-                elif id_meta:
-                    ids_f = (rec[4, base + META]
-                             + jnp.float32(id_stride)
-                             * lane_ids.astype(jnp.float32))
+                f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
+                f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
+                f2 = (col(10) * (px - col(8))
+                      - col(11) * (py - col(9)))
+                a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
+                a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
+                a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
+                aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+                az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+                asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+                cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                       & (col(24) > 0.0)
+                       & (az >= 0.0) & (aw > 0.0)
+                       & (asum - az >= 0.0))
+                cids = jnp.where(cov, ids_g[g] * jnp.ones_like(f0),
+                                 -1.0)
+                cand = (cids, a0, a1, a2, aw)
+                if mid is None:
+                    mid = cand
                 else:
-                    ids_f = ids_i.astype(jnp.float32)
+                    take = cand[0] > mid[0]
+                    mid = tuple(jnp.where(take, n, m)
+                                for n, m in zip(cand, mid))
+            cids, a0, a1, a2, aw = mid
+            wid = jnp.max(cids, axis=1, keepdims=True)
+            sel = ((cids == wid) & (wid >= 0.0)).astype(jnp.float32)
+            cid = wid[:, 0, :]
+            c0 = jnp.sum(a0 * sel, axis=1)
+            c1 = jnp.sum(a1 * sel, axis=1)
+            c2 = jnp.sum(a2 * sel, axis=1)
+            cw = jnp.sum(aw * sel, axis=1)
+            sl = pl.ds(ty * 8, 8)
+            acc_lo = aid_ref[sl, :]
+            better = cid > acc_lo
+            aid_ref[sl, :] = jnp.where(better, cid, acc_lo)
+            a0_ref[sl, :] = jnp.where(better, c0, a0_ref[sl, :])
+            a1_ref[sl, :] = jnp.where(better, c1, a1_ref[sl, :])
+            a2_ref[sl, :] = jnp.where(better, c2, a2_ref[sl, :])
+            aw_ref[sl, :] = jnp.where(better, cw, aw_ref[sl, :])
+            return carry4
 
-                def trip(t, carry4):
-                    ty = ty0 + t
-                    py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
-                          .astype(jnp.float32)
-                          + (ty * 8).astype(jnp.float32) + 0.5)
-                    f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
-                    f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
-                    f2 = col(10) * (px - col(8)) - col(11) * (py - col(9))
-                    a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
-                    a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
-                    a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
-                    aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
-                    # Clip-volume tests (setup.py "Near-plane clipping").
-                    az = f0 * col(25) + f1 * col(26) + f2 * col(27)
-                    asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
-                    cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
-                           & (col(24) > 0.0)
-                           & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
+        jax.lax.fori_loop(0, ntr_u, trip, 0)
 
-                    sl = pl.ds(ty * 8, 8)
-                    if exact_ids:
-                        chi = jnp.where(cov, id_hi * jnp.ones_like(f0), -1.0)
-                        clo = jnp.where(cov, id_lo * jnp.ones_like(f0), -1.0)
-                        whi = jnp.max(chi, axis=1, keepdims=True)
-                        cand = (chi == whi) & cov
-                        wlo = jnp.max(jnp.where(cand, clo, -1.0), axis=1,
-                                      keepdims=True)
-                        sel = (cand & (clo == wlo)).astype(jnp.float32)
-                        cid_hi = whi[:, 0, :]
-                        cid = wlo[:, 0, :]
-                        acc_hi = ahi_ref[sl, :]
-                        acc_lo = aid_ref[sl, :]
-                        better = ((cid_hi > acc_hi)
-                                  | ((cid_hi == acc_hi) & (cid > acc_lo)))
-                        ahi_ref[sl, :] = jnp.where(better, cid_hi, acc_hi)
-                    else:
-                        cids = jnp.where(cov, ids_f * jnp.ones_like(f0), -1.0)
-                        wid = jnp.max(cids, axis=1, keepdims=True)
-                        sel = ((cids == wid) & cov).astype(jnp.float32)
-                        cid = wid[:, 0, :]
-                        acc_lo = aid_ref[sl, :]
-                        better = cid > acc_lo
-                    # one-hot select: exactly one term (ids unique), bit-exact
-                    c0 = jnp.sum(a0 * sel, axis=1)
-                    c1 = jnp.sum(a1 * sel, axis=1)
-                    c2 = jnp.sum(a2 * sel, axis=1)
-                    cw = jnp.sum(aw * sel, axis=1)
-                    aid_ref[sl, :] = jnp.where(better, cid, acc_lo)
-                    a0_ref[sl, :] = jnp.where(better, c0, a0_ref[sl, :])
-                    a1_ref[sl, :] = jnp.where(better, c1, a1_ref[sl, :])
-                    a2_ref[sl, :] = jnp.where(better, c2, a2_ref[sl, :])
-                    aw_ref[sl, :] = jnp.where(better, cw, aw_ref[sl, :])
-                    return carry4
+    def _do_group(rec, g, sup_id0):
+        base = g * PCOLS
 
-                jax.lax.fori_loop(0, ntr, trip, 0)
+        # Hoist record-column broadcasts out of the trip loop
+        # (Mosaic does not reliably CSE dynamic-ref reads across
+        # fori iterations; same scheduling as strips.py).
+        C = [rec[:, base + k].reshape(1, GBLOCK, 1)
+             for k in range(NUM_COLS)]
 
-            jax.lax.fori_loop(0, _SLAB, sup_body, 0)
+        def col(k):
+            return C[k]
 
-            @pl.when(s + _RING < nslab)
-            def _prefetch():
-                dma(slab_start(s + _RING), slot).start()
-            return carry2
+        ty0 = rec[0, base + META].astype(jnp.int32)
+        ntr = rec[1, base + META].astype(jnp.int32)
+        bx0 = rec[2, base + META]
+        bx1 = rec[3, base + META]
+        # Zero-trip blocks whose bbox union misses this column: a
+        # skipped block costs ~25 ns, a walked one ~500 ns.
+        ntr = jnp.where((bx0 <= txf) & (txf <= bx1), ntr, 0)
 
-        jax.lax.fori_loop(0, nslab, slab_body, 0)
-        return carry
+        ids_i = sup_id0 + g * GBLOCK + lane_ids   # (1,8,1) int32
+        if exact_ids:
+            id_hi = (ids_i >> 12).astype(jnp.float32)
+            id_lo = (ids_i & 4095).astype(jnp.float32)
+        elif id_meta:
+            ids_f = (rec[4, base + META]
+                     + jnp.float32(id_stride)
+                     * lane_ids.astype(jnp.float32))
+        else:
+            ids_f = ids_i.astype(jnp.float32)
 
-    jax.lax.fori_loop(0, n_entries, entry_body, 0)
+        def trip(t, carry4):
+            ty = ty0 + t
+            py = (jax.lax.broadcasted_iota(jnp.int32, (8, 1, 1), 0)
+                  .astype(jnp.float32)
+                  + (ty * 8).astype(jnp.float32) + 0.5)
+            f0 = col(2) * (px - col(0)) - col(3) * (py - col(1))
+            f1 = col(6) * (px - col(4)) - col(7) * (py - col(5))
+            f2 = col(10) * (px - col(8)) - col(11) * (py - col(9))
+            a0 = f0 * col(12) + f1 * col(13) + f2 * col(14)
+            a1 = f0 * col(15) + f1 * col(16) + f2 * col(17)
+            a2 = f0 * col(18) + f1 * col(19) + f2 * col(20)
+            aw = f0 * col(21) + f1 * col(22) + f2 * col(23)
+            # Clip-volume tests (setup.py "Near-plane clipping").
+            az = f0 * col(25) + f1 * col(26) + f2 * col(27)
+            asum = f0 * col(28) + f1 * col(29) + f2 * col(30)
+            cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+                   & (col(24) > 0.0)
+                   & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
+
+            sl = pl.ds(ty * 8, 8)
+            if exact_ids:
+                chi = jnp.where(cov, id_hi * jnp.ones_like(f0), -1.0)
+                clo = jnp.where(cov, id_lo * jnp.ones_like(f0), -1.0)
+                whi = jnp.max(chi, axis=1, keepdims=True)
+                cand = (chi == whi) & cov
+                wlo = jnp.max(jnp.where(cand, clo, -1.0), axis=1,
+                              keepdims=True)
+                sel = (cand & (clo == wlo)).astype(jnp.float32)
+                cid_hi = whi[:, 0, :]
+                cid = wlo[:, 0, :]
+                acc_hi = ahi_ref[sl, :]
+                acc_lo = aid_ref[sl, :]
+                better = ((cid_hi > acc_hi)
+                          | ((cid_hi == acc_hi) & (cid > acc_lo)))
+                ahi_ref[sl, :] = jnp.where(better, cid_hi, acc_hi)
+            else:
+                cids = jnp.where(cov, ids_f * jnp.ones_like(f0), -1.0)
+                wid = jnp.max(cids, axis=1, keepdims=True)
+                sel = ((cids == wid) & cov).astype(jnp.float32)
+                cid = wid[:, 0, :]
+                acc_lo = aid_ref[sl, :]
+                better = cid > acc_lo
+            # one-hot select: exactly one term (ids unique), bit-exact
+            c0 = jnp.sum(a0 * sel, axis=1)
+            c1 = jnp.sum(a1 * sel, axis=1)
+            c2 = jnp.sum(a2 * sel, axis=1)
+            cw = jnp.sum(aw * sel, axis=1)
+            aid_ref[sl, :] = jnp.where(better, cid, acc_lo)
+            a0_ref[sl, :] = jnp.where(better, c0, a0_ref[sl, :])
+            a1_ref[sl, :] = jnp.where(better, c1, a1_ref[sl, :])
+            a2_ref[sl, :] = jnp.where(better, c2, a2_ref[sl, :])
+            aw_ref[sl, :] = jnp.where(better, cw, aw_ref[sl, :])
+            return carry4
+
+        jax.lax.fori_loop(0, ntr, trip, 0)
+
+    flat_walk(do_sup)
+
 
     if exact_ids:
         covered = ahi_ref[...] >= 0.0
@@ -523,7 +592,7 @@ def _packed_id_kernel(counts_ref,                    # SMEM prefetch (B*NTX,)
             stream_ref.at[pl.ds((frame_base + slab_sup) * 8, _SLAB * 8), :],
             scratch.at[slot], sem.at[slot])
 
-    n_entries = counts_ref[prog]
+    n_entries = counts_ref[0, prog]
 
     def entry_body(e, carry):
         start = wls_ref[0, 0, e, 0]
@@ -534,15 +603,20 @@ def _packed_id_kernel(counts_ref,                    # SMEM prefetch (B*NTX,)
             return jnp.minimum(start + s * _SLAB, max_slab)
 
         # Guarded ring: see _packed_kernel (no drain needed).
-        for k in range(_RING):
-            @pl.when(k < nslab)
-            def _prime(k=k):
-                dma(slab_start(jnp.int32(k)), k).start()
+        if not _NODMA:
+            for k in range(_RING):
+                @pl.when(k < nslab)
+                def _prime(k=k):
+                    dma(slab_start(jnp.int32(k)), k).start()
 
         def slab_body(s, carry2):
             slot = jax.lax.rem(s, _RING)
-            dma(slab_start(s), slot).wait()
+            if not _NODMA:
+                dma(slab_start(s), slot).wait()
             base_sup = slab_start(s)
+            # Entry-bounded walk: see _packed_kernel.
+            lo = start + s * _SLAB - base_sup
+            hi = jnp.minimum(start + n - base_sup, _SLAB)
 
             def sup_body(c, carry3):
                 rec = scratch[slot, pl.ds(c * 8, 8), :]   # (8, 128)
@@ -592,11 +666,12 @@ def _packed_id_kernel(counts_ref,                    # SMEM prefetch (B*NTX,)
 
                 jax.lax.fori_loop(0, ntr, trip, 0)
 
-            jax.lax.fori_loop(0, _SLAB, sup_body, 0)
+            jax.lax.fori_loop(lo, hi, sup_body, 0)
 
-            @pl.when(s + _RING < nslab)
-            def _prefetch():
-                dma(slab_start(s + _RING), slot).start()
+            if not _NODMA:
+                @pl.when(s + _RING < nslab)
+                def _prefetch():
+                    dma(slab_start(s + _RING), slot).start()
             return carry2
 
         jax.lax.fori_loop(0, nslab, slab_body, 0)
@@ -689,8 +764,11 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
         return build_packed_stream(cols, bbox, row_size, width, height,
                                    tile_h, tile_w, tri_ids=tri_ids)
 
-    stream_b, wls_b, wln_b, counts_b = jax.vmap(prep_one)(cols_b, bbox_b)
+    stream_b, wls_b, wln_b, counts_b, nflat_b = jax.vmap(prep_one)(
+        cols_b, bbox_b)
     stream = stream_b.reshape(B * supers_pad * 8, 128)
+    # scalar prefetch rows: [0] entry counts, [1] flat DMA slab counts
+    counts2 = jnp.stack([counts_b.reshape(-1), nflat_b.reshape(-1)])
 
     exact_ids = T >= (1 << 24) or force_exact_ids
     assert not (exact_ids and id_meta), \
@@ -742,7 +820,7 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=(out_shape,),
-        )(counts_b.reshape(-1), wls_b[..., None], wln_b[..., None], stream)
+        )(counts2, wls_b[..., None], wln_b[..., None], stream)
         aid_b = aid.reshape(B, h8, ntx * 128)
         v0, v1, v2, mask = jax.vmap(functools.partial(
             _varyings_from_ids, row_size=row_size, spr=spr,
@@ -777,7 +855,7 @@ def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape, out_shape, out_shape),
-    )(counts_b.reshape(-1), wls_b[..., None], wln_b[..., None], stream)
+    )(counts2, wls_b[..., None], wln_b[..., None], stream)
 
     def crop(a):
         return a.reshape(B, h8, ntx * 128)[:, :height, :width]
@@ -817,7 +895,7 @@ def render_gbuffer_packed_ref(cols, bbox, row_size: int,
     spr = -(-row_size // SUPER_T)
     h8 = nty * tile_h
 
-    stream, wl_start, wl_n, counts = build_packed_stream(
+    stream, wl_start, wl_n, counts, _nflat = build_packed_stream(
         cols, bbox, row_size, width, height, tile_h, tile_w,
         tri_ids=tri_ids)
     id_meta = tri_ids is not None
