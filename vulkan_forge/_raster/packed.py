@@ -59,7 +59,7 @@ META = NUM_COLS   # meta lane offset within a group (= 31)
 # is an experiment knob (read at import): larger slabs amortize the
 # ~5-10 us fixed per-DMA cost this environment measures.
 _SLAB = int(os.environ.get("VF_PACKED_SLAB", "8"))
-_RING = 2         # DMA ring depth
+_RING = int(os.environ.get("VF_PACKED_RING", "2"))   # DMA ring depth
 # Unroll the per-slab super loop into straight-line code with STATIC
 # scratch offsets (default on; VF_PACKED_UNROLL=0 restores the fori):
 # Mosaic's dynamic sublane addressing costs per-access overhead that an

@@ -247,11 +247,15 @@ def _grid_split_ok(grid_n, indices) -> bool:
     is large enough that the removed row gathers (~33 B/tri x 16 lane-pad
     x 3 corners) outweigh the split layout's doubled per-entry worklist
     overhead (measured crossover ~400K triangles: grid=1024 527 vs
-    629 ms/b4 split vs gathered; grid=128 is FASTER gathered)."""
+    629 ms/b4 split vs gathered; grid=128 was FASTER gathered under the
+    round-3a per-entry DMA ring). VF_SPLIT_MIN_T re-tunes the crossover:
+    the round-3c flat cross-entry pipeline removed the per-entry
+    prime/stall this gate was protecting against."""
     if grid_n is None:
         return False
     t = 2 * (grid_n - 1) * (grid_n - 1)
-    return int(indices.shape[0]) == t and 400_000 <= t < (1 << 24)
+    min_t = int(os.environ.get("VF_SPLIT_MIN_T", "400000"))
+    return int(indices.shape[0]) == t and min_t <= t < (1 << 24)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -302,6 +306,91 @@ def _terrain_render_batch_packed(xyuv, indices, heights, views, projs, lut,
             a, b, c, m, lut, heights, h_min, h_max, exposure, sun_dir,
             nsp, exaggeration)
     )(v0, v1, v2, mask)
+
+
+# ---------------- vertex-stream dense path (round 3c) ----------------
+
+# Slots ratchet: (grid_n, W, H) -> candidate slots. Grow-only, shared
+# across Renderer instances like the other ratchets (documented in
+# ARCHITECTURE.md): a camera that overflows bumps to the next pow2 and
+# the frame re-renders through the byte-identical packed path.
+_VTX_RATCHET: dict = {}
+
+
+def _vtx_slots(grid_n, width, height) -> int:
+    return _VTX_RATCHET.get((grid_n, width, height), 4)
+
+
+def _vtx_bump(grid_n, width, height, needed: float) -> None:
+    cur = _vtx_slots(grid_n, width, height)
+    want = 4
+    while want < needed:
+        want *= 2
+    _VTX_RATCHET[(grid_n, width, height)] = max(want, cur * 2)
+
+
+def _vtx_ok(grid_n, indices, width: int, height: int) -> bool:
+    """Vertex-stream kernel eligibility: build_grid_xyuv(grid_n) topology
+    (triangles are synthesized in-kernel from the vertex grid), <= 8
+    vertex chunks (grid <= 1024), painter ids on one f32, and the five
+    full-frame accumulator planes fit VMEM."""
+    if grid_n is None or grid_n < 2 or grid_n > 1024:
+        return False
+    t = 2 * (grid_n - 1) * (grid_n - 1)
+    if int(indices.shape[0]) != t or t >= (1 << 24):
+        return False
+    ntx = -(-width // 128)
+    h8 = -(-height // TILE_H) * TILE_H
+    return ntx * h8 * 128 * 4 * 5 < 12 * 2**20
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "fs_mode", "grid_n", "slots"))
+def _terrain_render_batch_vtx(xyuv, indices, heights, views, projs, lut,
+                              h_min, h_max, exposure, sun_dir, spacing,
+                              exaggeration, width, height, fs_mode="shipped",
+                              nspacing=None, grid_n=None, slots=4):
+    """Batched vertex-stream path: B frames in one dispatch, ~16 B of HBM
+    traffic per triangle (8x less than packed) -- triangle setup runs
+    INSIDE the kernel on lane-packed vertex rows (vtx.py). Returns
+    (images, needed): callers must check needed <= slots and re-render
+    through the packed path otherwise (see vtx.py overflow contract)."""
+    from . import vtx
+
+    def vs_fields(view, proj):
+        if fs_mode == "shipped":
+            clip, vary = transform.terrain_vs(xyuv, heights, view, proj,
+                                              spacing, exaggeration)
+        else:
+            x = xyuv[:, 0]
+            z = xyuv[:, 1]
+            sp = jnp.maximum(spacing, 1e-8)
+            h = transform.sample_height_nearest(heights, xyuv[:, 2:4])
+            world = jnp.stack([x * sp, h * exaggeration, z * sp,
+                               jnp.ones_like(x)], axis=-1)
+            clip = (world @ view.T) @ proj.T
+            vary = jnp.stack([h, xyuv[:, 2], xyuv[:, 3]], axis=-1)
+        xf, yf, zf, w = clip_to_fb(clip, width, height)
+        zero = jnp.zeros_like(xf)
+        return (xf, yf, w, vary[:, 0], vary[:, 1], vary[:, 2], zf, zero)
+
+    fields_b = jax.vmap(vs_fields)(views, projs)
+    (v0, v1, v2, mask), needed = vtx.render_gbuffer_vtx_batch(
+        fields_b, grid_n, width, height, slots=slots)
+    if fs_mode == "shipped":
+        h_range = h_max - h_min
+        imgs = jax.vmap(
+            lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
+                                                   exposure, sun_dir)
+        )(v0, v1, v2, mask)
+    else:
+        nsp = spacing if nspacing is None else nspacing
+        imgs = jax.vmap(
+            lambda a, b, c, m: fragment.terrain_fs_extended(
+                a, b, c, m, lut, heights, h_min, h_max, exposure, sun_dir,
+                nsp, exaggeration)
+        )(v0, v1, v2, mask)
+    return imgs, needed
 
 
 # ---------------- candidate-deposit dense path ----------------
@@ -525,6 +614,26 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
         fill_rule = "inclusive"
     if fill_rule == "hw":
         dense_mode = "strips"
+
+    if (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "vtx"
+            and _vtx_ok(grid_n, indices, width, height)):
+        # Dense grid meshes: vertex-stream kernel (~16 B/tri HBM traffic,
+        # in-kernel triangle setup, slot-stacked MXU deposit -- vtx.py).
+        # A frame whose max bbox span exceeds the slots ratchet re-renders
+        # through the byte-identical packed path and bumps the ratchet.
+        slots = _vtx_slots(grid_n, width, height)
+        img_u32, needed = _terrain_render_batch_vtx(
+            xyuv, indices, heights, view[None], proj[None], lut, h_min,
+            h_max, exposure, sun_dir, spacing, exaggeration, width, height,
+            fs_mode=fs_mode, nspacing=nsp, grid_n=grid_n, slots=slots)
+        needed = float(jax.device_get(needed))
+        if needed <= slots:
+            img_u32 = img_u32[0]
+            if as_device:
+                return img_u32
+            return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
+        _vtx_bump(grid_n, width, height, needed)
+        dense_mode = "packed"
 
     if (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "packed"
             and _strips_fit(height)):

@@ -272,11 +272,20 @@ def setup_cols_from_corners(c0, c1, c2, width: int, height: int,
         width, height, fill_rule=fill_rule)
 
 
-def _setup_cols_fields(c0, c1, c2, width: int, height: int,
-                       fill_rule: str = "inclusive"):
-    """Triangle setup from per-corner per-FIELD (T,) vectors (field order:
+def setup_fields_core(c0, c1, c2, width: int, height: int,
+                      fill_rule: str = "inclusive"):
+    """Triangle setup from per-corner per-FIELD vectors (field order:
     x_fb, y_fb, w_clip, var0, var1, var2, z_ndc, zero). Coordinates must
-    already be snapped when fill_rule == "hw"."""
+    already be snapped when fill_rule == "hw".
+
+    Shape-polymorphic pure-elementwise core shared by the XLA setup paths
+    ((T,) vectors) and the vtx Pallas kernel ((1, 128) lane vectors traced
+    INSIDE the kernel) -- both see the exact same f32 ops in the same
+    order, so in-kernel setup is byte-identical by construction.
+
+    Returns (cols, px0, px1, py0, py1, valid): the NUM_COLS record column
+    vectors, the int32 pixel-center bbox (pre-invalid-encoding), and the
+    bool valid flag (already folded into cols[24])."""
     x0, y0, w0, zn0 = c0[0], c0[1], c0[2], c0[6]
     x1, y1, w1, zn1 = c1[0], c1[1], c1[2], c1[6]
     x2, y2, w2, zn2 = c2[0], c2[1], c2[2], c2[6]
@@ -290,7 +299,10 @@ def _setup_cols_fields(c0, c1, c2, width: int, height: int,
     # src/terrain/pipeline.rs:128).
     neg0, neg1_, neg2 = w0 < 0.0, w1 < 0.0, w2 < 0.0
     odd_neg = neg0 ^ neg1_ ^ neg2
-    front = jnp.where(odd_neg, area2 > 0.0, area2 < 0.0)
+    # select on f32 then compare (a bool-branch select lowers to an i1
+    # truncation Mosaic rejects); where(odd_neg, area2, -area2) > 0 is
+    # exactly where(odd_neg, area2 > 0, area2 < 0) -- sign flip is exact.
+    front = jnp.where(odd_neg, area2, -area2) > 0.0
     finite = (jnp.isfinite(x0) & jnp.isfinite(x1) & jnp.isfinite(x2)
               & jnp.isfinite(y0) & jnp.isfinite(y1) & jnp.isfinite(y2))
 
@@ -412,13 +424,24 @@ def _setup_cols_fields(c0, c1, c2, width: int, height: int,
         zerob = jnp.zeros_like(x0)
 
         def edge_bias(ax, ay, bx, by):
-            topleft = jnp.where(ay == by, bx > ax, by < ay)
+            # boolean algebra, not a bool-branch select (Mosaic-safe)
+            horiz = ay == by
+            topleft = (horiz & (bx > ax)) | (~horiz & (by < ay))
             return jnp.where(topleft | ~clean, zerob, bias)
 
         cols += [edge_bias(x1, y1, x2, y2),        # edge opp v0
                  edge_bias(x2, y2, x0, y0),        # edge opp v1
                  edge_bias(x0, y0, x1, y1)]        # edge opp v2
 
+    return cols, px0, px1, py0, py1, valid
+
+
+def _setup_cols_fields(c0, c1, c2, width: int, height: int,
+                       fill_rule: str = "inclusive"):
+    """setup_fields_core + the (T, 4) int32 bbox with the invalid encoding
+    (x1 < x0) every binning/worklist consumer keys on."""
+    cols, px0, px1, py0, py1, valid = setup_fields_core(
+        c0, c1, c2, width, height, fill_rule=fill_rule)
     bbox = jnp.stack([jnp.where(valid, px0, width), jnp.where(valid, px1, -1),
                       jnp.where(valid, py0, height), jnp.where(valid, py1, -1)], axis=-1)
     return cols, bbox

@@ -1,0 +1,550 @@
+"""Vertex-stream raster backend: in-kernel triangle setup + MXU deposit.
+
+Round-3 flagship path for grid meshes. Every earlier dense backend
+(strips/packed/deposit) streams per-TRIANGLE records from HBM -- >= 128 B
+per triangle -- and this environment's measured DMA throughput (~8-12 GB/s
+effective with a ~4 us/descriptor floor, see docs/NEXT.md round-3c) makes
+that stream alone cost ~40 ms/frame at grid=1024. But a grid mesh's
+triangles are pure functions of its VERTICES, and vertices are shared:
+this backend streams only post-VS per-vertex data (8 f32 fields -> 32 B
+per vertex ~= 16 B/triangle, with each vertex row fetched once per frame)
+and synthesizes the triangle records INSIDE the Pallas kernel.
+
+Byte-exactness by construction: the kernel traces the very same
+``setup.setup_fields_core`` the XLA setup paths use -- identical f32 ops
+in identical order on identical per-corner inputs -- so the in-kernel
+records match ``setup_cols_grid``'s columns bit-for-bit. Rasterization
+reuses the candidate-deposit machinery proven in ``deposit.py``: per-tri
+candidate evaluation at <= ``slots`` pixel columns, MXU one-hot placement
+at precision=HIGHEST (bit-exact single-contributor transport; per-cell
+winner via exact sums of distinct powers of two, extracted from the f32
+exponent field).
+
+Layout (one frame):
+
+  HBM vertex stream (n * (nch+1) * 8, 128) f32, nch = ceil(n/128):
+    vertex row r, chunk kx occupies rows ((r*(nch+1)) + kx)*8 .. +8:
+    sublane f = field f of 128 consecutive verts (x_fb, y_fb, w_clip,
+    var0, var1, var2, z_ndc, 0). The per-row META tile (rows kx = nch)
+    stamps each cell-chunk's conservative walk ranges at sublane kx,
+    lanes 0..3: (ty0, n_tile_rows, tx0, n_tile_cols) -- computed from
+    vertex extents in prep, so the kernel has NO side tables.
+
+  One grid program per frame owns ALL ntx framebuffer column strips,
+  stacked on SUBLANES: plane[(c*h8 + ty*8) .. +8, 0:128] is tile row ty
+  of column c (dynamic sublane addressing is legal on TPU; dynamic LANE
+  addressing is not). The five accumulator planes (winner id, three
+  varying numerators, 1/w numerator) ARE the pallas outputs -- no
+  duplicate scratch.
+
+  Per cell row r (fori over n-1 rows): a 3-deep DMA ring keeps vertex
+  rows r and r+1 resident (row r+2 in flight). Per 128-cell chunk: two
+  lane-rolled corner extractions + two traced setup_fields_core calls
+  produce both halves' records as (1, 128) lane vectors (tris on lanes --
+  the deposit layout -- for free, because vertices arrive lane-packed);
+  a 256-candidate deposit trip then covers BOTH halves per (tile-row,
+  column) visit: rel id = 2*lane + k, so rel order == true split-grid
+  draw order; each half resolves its winner lane via the exponent trick
+  and the halves merge exactly (2*l1 + 1 > 2*l0 <=> l1 >= l0). All
+  placement dots are slot-stacked (see trip()): per visit, pass A costs
+  2 dots per half and pass B 4, independent of ``slots``.
+
+Overflow contract (callers MUST honor): a triangle whose pixel-center
+bbox spans more than ``slots`` columns would silently lose its rightmost
+pixels, and near-plane-crossing (w <= eps) triangles get conservative
+full-screen ranges. The kernel accumulates max(px1 - px0 + 2) over valid
+triangles into the ``ovf`` output; if its max exceeds ``slots`` the frame
+is NOT trustworthy and the caller must re-render through the packed path
+(byte-identical) and raise the slots ratchet. The +1 margin keeps parity
+even when f32 rounding covers one pixel beyond the exact bbox.
+
+Parity anchors: rasterization rules pinned by
+/root/reference/src/terrain/pipeline.rs:107-140 (CCW + back-cull, no
+depth buffer, painter = last draw wins); grid mesh topology
+/root/reference/src/terrain/mod.rs:582.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .setup import _W_EPS, setup_fields_core
+
+FLD = 8           # per-vertex fields (x_fb, y_fb, w, var0..2, z_ndc, 0)
+_NG = 6           # 2^lane exponent groups per half: ceil(128 / 24)
+
+
+def _nch(n: int) -> int:
+    return -(-n // 128)
+
+
+def build_vtx_stream(fields, n: int, width: int, height: int):
+    """Assemble one frame's vertex stream + stamped chunk metadata.
+
+    fields: tuple of FLD (n*n,) f32 vertex vectors (row-major grid).
+    Returns (n * (nch+1) * 8, 128) f32 -- see module docstring layout.
+
+    The stamped (ty0, ntr, c0, ncl) ranges are CONSERVATIVE cell-level
+    unions from vertex extents (+1 px margin, matching the kernel's
+    span+1 overflow rule): for clean-w cells they always contain the true
+    pixel-center bbox of both halves' triangles; cells touching w <= eps
+    get full-screen ranges so the kernel is guaranteed to visit them and
+    trip the span overflow (vertex extents are meaningless under a
+    projective sign flip).
+    """
+    nch = _nch(n)
+    lanes = nch * 128
+    cells = n - 1
+    ntx = -(-width // 128)
+    nty = -(-height // 8)
+
+    g = [f.reshape(n, n) for f in fields]
+    gp = [jnp.pad(x, ((0, 0), (0, lanes - n))) for x in g]
+    fld = jnp.stack(gp, axis=1)                       # (n, FLD, lanes)
+    fld = fld.reshape(n, FLD, nch, 128).transpose(0, 2, 1, 3)
+
+    x, y, w = g[0], g[1], g[2]
+
+    def c4(a, op):
+        return op(op(a[:-1, :-1], a[:-1, 1:]), op(a[1:, :-1], a[1:, 1:]))
+
+    unclean = c4(w, jnp.minimum) <= _W_EPS            # (cells, cells)
+    xmin = jnp.where(unclean, 0.0, c4(x, jnp.minimum))
+    xmax = jnp.where(unclean, jnp.float32(width), c4(x, jnp.maximum))
+    ymin = jnp.where(unclean, 0.0, c4(y, jnp.minimum))
+    ymax = jnp.where(unclean, jnp.float32(height), c4(y, jnp.maximum))
+
+    px0 = jnp.maximum(jnp.ceil(jnp.clip(xmin, -1e9, 1e9) - 0.5)
+                      .astype(jnp.int32), 0)
+    px1 = jnp.minimum(jnp.floor(jnp.clip(xmax, -1e9, 1e9) - 0.5)
+                      .astype(jnp.int32) + 1, width - 1)   # +1 px margin
+    py0 = jnp.maximum(jnp.ceil(jnp.clip(ymin, -1e9, 1e9) - 0.5)
+                      .astype(jnp.int32), 0)
+    py1 = jnp.minimum(jnp.floor(jnp.clip(ymax, -1e9, 1e9) - 0.5)
+                      .astype(jnp.int32) + 1, height - 1)
+    covers = (px0 <= px1) & (py0 <= py1)
+
+    big = jnp.int32(1 << 20)
+
+    def chunkred(a, fill, op):
+        a = jnp.pad(a, ((0, 0), (0, lanes - cells)), constant_values=fill)
+        return op(a.reshape(cells, nch, 128), axis=2)
+
+    ty0c = chunkred(jnp.where(covers, py0 // 8, big), big, jnp.min)
+    ty1c = chunkred(jnp.where(covers, py1 // 8, -big), -big, jnp.max)
+    c0c = chunkred(jnp.where(covers, px0 // 128, big), big, jnp.min)
+    c1c = chunkred(jnp.where(covers, px1 // 128, -big), -big, jnp.max)
+    ntr = jnp.clip(ty1c - ty0c + 1, 0, nty)
+    ncl = jnp.clip(c1c - c0c + 1, 0, ntx)
+    ty0c = jnp.clip(ty0c, 0, nty - 1)
+    c0c = jnp.clip(c0c, 0, ntx - 1)
+    # Conservative per-(cell-row, chunk) slot demand: the cell vertex-
+    # extent bbox contains both halves' true bboxes and px1 already
+    # carries the +1 margin, so px1-px0+1 >= the kernel's span+2 overflow
+    # metric for every triangle in the chunk. Chunk-rows whose demand
+    # fits the base slot count take the cheap walk (kernel gate).
+    spanc = chunkred(jnp.where(covers, px1 - px0 + 1, 0), 0, jnp.max)
+
+    # Stage-split measurement knobs (scripts/dev_vtx_perf.py): zeroing ntr
+    # skips the whole per-chunk body (isolates DMA + row loop + meta
+    # reads); zeroing ncl runs in-kernel setup but no raster trips. Same
+    # executable either way -- these change DATA, not code.
+    if os.environ.get("VF_VTX_STAGE") == "dma":
+        ntr = jnp.zeros_like(ntr)
+    elif os.environ.get("VF_VTX_STAGE") == "setup":
+        ncl = jnp.zeros_like(ncl)
+
+    meta5 = jnp.stack([ty0c, ntr, c0c, ncl, spanc],
+                      axis=-1).astype(jnp.float32)
+    meta = jnp.pad(meta5, ((0, 1), (0, 8 - nch), (0, 123)))  # (n, 8, 128)
+
+    stream = jnp.concatenate([fld, meta[:, None]], axis=1)
+    return stream.reshape(n * (nch + 1) * 8, 128)
+
+
+def _vtx_kernel(vs_ref,                              # HBM vertex stream
+                v0_ref, v1_ref, v2_ref, mask_ref, aw_ref, ovf_ref,
+                vring, sem, cols_ref, lhs_ref,
+                *, n, ntx, nty, cells, slots, width, height):
+    b = pl.program_id(0)
+    nch = _nch(n)
+    h8 = nty * 8
+    rb = (nch + 1) * 8                               # stream rows per vrow
+
+    # outputs double as accumulators (VMEM budget: 5 planes ~= 10.8 MB at
+    # 800x600); initialize per column strip (static ntx loop keeps each
+    # elementwise sweep at a (h8, 128) register tile).
+    for cs in range(ntx):
+        sl = slice(cs * h8, (cs + 1) * h8)
+        mask_ref[0, sl, :] = jnp.full((h8, 128), -1.0, jnp.float32)
+        v0_ref[0, sl, :] = jnp.zeros((h8, 128), jnp.float32)
+        v1_ref[0, sl, :] = jnp.zeros((h8, 128), jnp.float32)
+        v2_ref[0, sl, :] = jnp.zeros((h8, 128), jnp.float32)
+        aw_ref[0, sl, :] = jnp.ones((h8, 128), jnp.float32)
+    ovf_ref[0] = jnp.zeros((8, 128), jnp.float32)
+
+    frame_rows = n * rb
+
+    def vdma(r, slot):
+        return pltpu.make_async_copy(
+            vs_ref.at[pl.ds(b * frame_rows + r * rb, rb), :],
+            vring.at[slot], sem.at[slot])
+
+    vdma(jnp.int32(0), 0).start()
+    vdma(jnp.int32(1), 1).start()
+    vdma(jnp.int32(0), 0).wait()
+
+    dy = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(jnp.float32)
+    xio_c = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+             .astype(jnp.float32))
+    xio_s = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+             .astype(jnp.float32))
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # rel = 2*lane + k == in-row draw order. Pass A resolves each half's
+    # winner LANE separately (6 static exponent groups of 24 lanes; the
+    # group masks and powers are lane-only -> hoisted constants), then the
+    # halves merge exactly: 2*l1 + 1 > 2*l0  <=>  l1 >= l0.
+    relf_k = [(2 * lane_i + k).astype(jnp.float32) for k in (0, 1)]
+    pwl = jnp.exp2(jax.lax.rem(lane_i, 24).astype(jnp.float32))
+    gmaskf = [(lane_i // 24 == g).astype(jnp.float32) for g in range(_NG)]
+
+    def hi_dot(a, bm):
+        return jax.lax.dot_general(
+            a, bm, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    def colk(k, j):
+        return cols_ref[k * 32 + j, :].reshape(1, 128)
+
+    def eval_slot(k, s, py, values=True):
+        # Candidate coverage (+ numerators) at pixel column px0+s: the
+        # exact trip formulas of tiles.py/packed.py in the same f32 order.
+        px = colk(k, 31) + (jnp.float32(s) + 0.5)
+        f0 = colk(k, 2) * (px - colk(k, 0)) - colk(k, 3) * (py - colk(k, 1))
+        f1 = colk(k, 6) * (px - colk(k, 4)) - colk(k, 7) * (py - colk(k, 5))
+        f2 = (colk(k, 10) * (px - colk(k, 8))
+              - colk(k, 11) * (py - colk(k, 9)))
+        aw = f0 * colk(k, 21) + f1 * colk(k, 22) + f2 * colk(k, 23)
+        az = f0 * colk(k, 25) + f1 * colk(k, 26) + f2 * colk(k, 27)
+        asum = f0 * colk(k, 28) + f1 * colk(k, 29) + f2 * colk(k, 30)
+        cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
+               & (colk(k, 24) > 0.0)
+               & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
+        covf = cov.astype(jnp.float32)
+        if not values:
+            return covf, None, None, None, None
+        a0 = f0 * colk(k, 12) + f1 * colk(k, 13) + f2 * colk(k, 14)
+        a1 = f0 * colk(k, 15) + f1 * colk(k, 16) + f2 * colk(k, 17)
+        a2 = f0 * colk(k, 18) + f1 * colk(k, 19) + f2 * colk(k, 20)
+        return covf, a0, a1, a2, aw
+
+    def lane_iota(rows):
+        return jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+    def shl(x, d):
+        """out[:, c] = x[:, c + d], zero-filled on the right (static d)."""
+        if d <= 0:
+            return x
+        if d >= 128:
+            return jnp.zeros_like(x)
+        y = jnp.roll(x, -d, axis=1)
+        return jnp.where(lane_iota(x.shape[0]) < 128 - d, y, 0.0)
+
+    def shr(x, d):
+        """out[:, c] = x[:, c - d], zero-filled on the left (static d)."""
+        if d <= 0:
+            return x
+        if d >= 128:
+            return jnp.zeros_like(x)
+        y = jnp.roll(x, d, axis=1)
+        return jnp.where(lane_iota(x.shape[0]) >= d, y, 0.0)
+
+    # Slot-stacked placement: every slot s deposits at column px0_rel + s,
+    # and the one-hot placement matrix for slot s is a pure column shift
+    # of slot Q's (Q = slots-1). So ALL slots share two placement dots --
+    # P_lo anchored at px0_rel + Q (tris starting left of the tile's
+    # right edge) and P_hi at px0_rel + Q - 128 (tris starting in the
+    # rightmost Q columns, whose anchor overflows the tile) -- with the
+    # slot bands redistributed afterwards by static lane shifts. Dot
+    # count per trip is then independent of ``slots``; this environment
+    # measures ~150 ns fixed cost per dot, which made the per-slot-dot
+    # formulation slot-linear (18.5 ms/slot at grid=1024).
+    #
+    # The remaining per-slot cost (evals + LHS stores, ~1.25 us/slot/trip
+    # measured) is gated by DEMAND: make_trip instantiates the trip body
+    # for a given slot count, and each chunk-row walks with the cheap
+    # base-slot trip unless its stamped span (meta lane 4) needs more.
+
+    def make_trip(nsl):
+      Q = nsl - 1
+
+      def trip(ty, c, base_f):
+        colx0 = (c * 128).astype(jnp.float32)
+        py = dy + (ty * 8).astype(jnp.float32) + 0.5
+
+        px0_rel_k, P_lo_k, P_hi_k, PT_lo_k, PT_hi_k = [], [], [], [], []
+        for k in (0, 1):
+            px0_rel = colk(k, 31) - colx0
+            px0_colT = px0_rel.T                     # (128, 1)
+            qf = jnp.float32(Q)
+            px0_rel_k.append(px0_rel)
+            P_lo_k.append((px0_colT + qf == xio_c).astype(jnp.float32))
+            P_hi_k.append((px0_colT + (qf - 128.0) == xio_c)
+                          .astype(jnp.float32))
+            PT_lo_k.append((px0_rel + qf == xio_s).astype(jnp.float32))
+            PT_hi_k.append((px0_rel + (qf - 128.0) == xio_s)
+                           .astype(jnp.float32))
+
+        # Pass A: per half, per-cell exact bitmask of covered LANES (sums
+        # of distinct powers of two below 2^24, 6 groups of 24); winner
+        # lane = top set bit (f32 exponent field).
+        win_h = []
+        for k in (0, 1):
+            for s in range(nsl):
+                covf, _, _, _, _ = eval_slot(k, s, py, values=False)
+                bm = covf * pwl
+                for g in range(_NG):
+                    lhs_ref[pl.ds((s * _NG + g) * 8, 8), :] = bm * gmaskf[g]
+            stack = lhs_ref[0:nsl * _NG * 8, :]
+            RA_lo = hi_dot(stack, P_lo_k[k])
+            RA_hi = hi_dot(stack, P_hi_k[k])
+            WA = jnp.zeros((_NG * 8, 128), jnp.float32)
+            for s in range(nsl):
+                band = slice(s * _NG * 8, (s + 1) * _NG * 8)
+                WA = WA + shl(RA_lo[band], Q - s)
+                if 128 - (Q - s) < 128:
+                    WA = WA + shr(RA_hi[band], 128 - (Q - s))
+
+            winl = jnp.full((8, 128), -1.0, jnp.float32)
+            for g in range(_NG):
+                gm = WA[g * 8:(g + 1) * 8, :]
+                bits = pltpu.bitcast(gm, jnp.int32)
+                expo = (((bits >> 23) & 0xFF) - 127).astype(jnp.float32)
+                winl = jnp.where(gm > 0.0, expo + jnp.float32(g * 24), winl)
+            win_h.append(winl)
+
+        # exact merge in rel space: rel = 2*lane + k
+        wr0 = jnp.where(win_h[0] >= 0.0, 2.0 * win_h[0], -1.0)
+        wr1 = jnp.where(win_h[1] >= 0.0, 2.0 * win_h[1] + 1.0, -1.0)
+        win = jnp.maximum(wr0, wr1)
+
+        # Back-transport stacks (shared by both halves): band s needs
+        # win[., col - (Q - s)] against PT_lo and win[., col + 128-(Q-s)]
+        # against PT_hi. Out-of-tile targets read zero-fill (a rel-0
+        # false match is harmless: its forward deposit drops in the same
+        # band shift).
+        for s in range(nsl):
+            lhs_ref[pl.ds(s * 8, 8), :] = shr(win, Q - s)
+        blo = lhs_ref[0:nsl * 8, :]
+        for s in range(nsl):
+            lhs_ref[pl.ds((nsl + s) * 8, 8), :] = shl(win, 128 - (Q - s))
+        bhi = lhs_ref[nsl * 8:2 * nsl * 8, :]
+
+        # Pass B: losers zeroed => exactly one contributor per cell, so
+        # the HIGHEST one-hot transport is bit-exact.
+        WB = jnp.zeros((32, 128), jnp.float32)
+        for k in (0, 1):
+            back = hi_dot(blo, PT_lo_k[k]) + hi_dot(bhi, PT_hi_k[k])
+            for s in range(nsl):
+                covf, a0, a1, a2, aw = eval_slot(k, s, py)
+                backs = back[s * 8:(s + 1) * 8, :]
+                keep = covf * (backs == relf_k[k]).astype(jnp.float32)
+                lhs_ref[pl.ds(s * 32, 8), :] = keep * a0
+                lhs_ref[pl.ds(s * 32 + 8, 8), :] = keep * a1
+                lhs_ref[pl.ds(s * 32 + 16, 8), :] = keep * a2
+                lhs_ref[pl.ds(s * 32 + 24, 8), :] = keep * aw
+            vstack = lhs_ref[0:nsl * 32, :]
+            RC_lo = hi_dot(vstack, P_lo_k[k])
+            RC_hi = hi_dot(vstack, P_hi_k[k])
+            for s in range(nsl):
+                band = slice(s * 32, (s + 1) * 32)
+                WB = WB + shl(RC_lo[band], Q - s)
+                if 128 - (Q - s) < 128:
+                    WB = WB + shr(RC_hi[band], 128 - (Q - s))
+
+        win_abs = jnp.where(win >= 0.0, win + base_f, -1.0)
+        sl = pl.ds(c * h8 + ty * 8, 8)
+        acc = mask_ref[0, sl, :]
+        better = win_abs > acc
+        mask_ref[0, sl, :] = jnp.where(better, win_abs, acc)
+        v0_ref[0, sl, :] = jnp.where(better, WB[0:8, :], v0_ref[0, sl, :])
+        v1_ref[0, sl, :] = jnp.where(better, WB[8:16, :], v1_ref[0, sl, :])
+        v2_ref[0, sl, :] = jnp.where(better, WB[16:24, :], v2_ref[0, sl, :])
+        aw_ref[0, sl, :] = jnp.where(better, WB[24:32, :], aw_ref[0, sl, :])
+
+      return trip
+
+    def row_body(r, carry):
+        s_lo = jax.lax.rem(r, 3)
+        s_hi = jax.lax.rem(r + 1, 3)
+        vdma(r + 1, s_hi).wait()
+
+        @pl.when(r + 2 <= n - 1)
+        def _prefetch():
+            vdma(r + 2, jax.lax.rem(r + 2, 3)).start()
+
+        mrow = vring[s_lo, pl.ds(nch * 8, 8), :]     # (8, 128) meta tile
+
+        # Static unroll over chunks: kx must be a Python int so the meta
+        # reads (mrow[kx, f]) and chunk row offsets stay static slices --
+        # Mosaic has no dynamic_slice lowering for VALUES inside loops.
+        for kx in range(nch):
+            ntr = mrow[kx, 1].astype(jnp.int32)
+
+            @pl.when(ntr > 0)
+            def _active(kx=kx, ntr=ntr):
+                ty0 = mrow[kx, 0].astype(jnp.int32)
+                c0 = mrow[kx, 2].astype(jnp.int32)
+                ncl = mrow[kx, 3].astype(jnp.int32)
+
+                lo = vring[s_lo, pl.ds(kx * 8, 8), :]     # (FLD, 128)
+                hi = vring[s_hi, pl.ds(kx * 8, 8), :]
+                kxn = min(kx + 1, nch - 1)
+                nlo = vring[s_lo, pl.ds(kxn * 8, 8), :][:, 0:1]
+                nhi = vring[s_hi, pl.ds(kxn * 8, 8), :][:, 0:1]
+                last = lane_i == 127
+                lo_s = jnp.where(last, nlo, jnp.roll(lo, -1, axis=1))
+                hi_s = jnp.where(last, nhi, jnp.roll(hi, -1, axis=1))
+
+                def fields(m):
+                    return tuple(m[f:f + 1, :] for f in range(FLD))
+
+                A = fields(lo)          # vert (r, c)
+                Cc = fields(hi)         # vert (r+1, c)
+                Bv = fields(lo_s)       # vert (r, c+1)
+                D = fields(hi_s)        # vert (r+1, c+1)
+
+                cic = cells - kx * 128
+                lanemask = (lane_i < cic)
+                # tri0 = [a, c, b], tri1 = [b, c, d] (_mesh.build_grid_xyuv)
+                for k, corners in ((0, (A, Cc, Bv)), (1, (Bv, Cc, D))):
+                    cols, px0, px1, _py0, _py1, valid = setup_fields_core(
+                        corners[0], corners[1], corners[2], width, height)
+                    for j in range(31):
+                        r0 = k * 32 + j
+                        if j == 24:
+                            cols_ref[r0:r0 + 1, :] = (
+                                cols[24]
+                                * lanemask.astype(jnp.float32))
+                        else:
+                            cols_ref[r0:r0 + 1, :] = cols[j]
+                    r0 = k * 32 + 31
+                    cols_ref[r0:r0 + 1, :] = px0.astype(jnp.float32)
+                    span = jnp.where(valid & lanemask,
+                                     (px1 - px0 + 2).astype(jnp.float32),
+                                     0.0)
+                    ovf_ref[0, 0:1, :] = jnp.maximum(ovf_ref[0, 0:1, :],
+                                                     span)
+
+                base_f = (r * (2 * cells) + kx * 256).astype(jnp.float32)
+
+                def walk_with(trip_fn):
+                    def ty_body(t, c3):
+                        def c_body(ci, c4):
+                            trip_fn(ty0 + t, c0 + ci, base_f)
+                            return c4
+
+                        jax.lax.fori_loop(0, ncl, c_body, 0)
+                        return c3
+
+                    jax.lax.fori_loop(0, ntr, ty_body, 0)
+
+                base = min(4, slots)
+                if base == slots:
+                    walk_with(make_trip(slots))
+                else:
+                    # Demand gate: chunk-rows whose stamped span fits the
+                    # base slot count (the overwhelming majority -- only
+                    # near-camera rows need more) take the cheap trip.
+                    spv = mrow[kx, 4]
+
+                    @pl.when(spv <= jnp.float32(base))
+                    def _cheap():
+                        walk_with(make_trip(base))
+
+                    @pl.when(spv > jnp.float32(base))
+                    def _full():
+                        walk_with(make_trip(slots))
+
+        return carry
+
+    jax.lax.fori_loop(0, n - 1, row_body, 0)
+
+    # finalize: perspective divide + coverage mask, per column strip
+    for cs in range(ntx):
+        sl = slice(cs * h8, (cs + 1) * h8)
+        aid = mask_ref[0, sl, :]
+        aw = aw_ref[0, sl, :]
+        rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+        v0_ref[0, sl, :] = v0_ref[0, sl, :] * rcp
+        v1_ref[0, sl, :] = v1_ref[0, sl, :] * rcp
+        v2_ref[0, sl, :] = v2_ref[0, sl, :] * rcp
+        mask_ref[0, sl, :] = (aid >= 0.0).astype(jnp.float32)
+
+
+def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
+                             slots: int = 4):
+    """B frames through the vertex-stream kernel.
+
+    fields_b: tuple of FLD (B, n*n) f32 vertex field vectors (post-VS).
+    Returns ((v0, v1, v2, mask) each (B, H, W), needed (f32 scalar)):
+    ``needed`` is the max over the batch of (bbox span + 1) -- the frame
+    batch is only valid when needed <= slots (see module docstring); the
+    caller re-renders through the packed path and raises its slots ratchet
+    otherwise.
+    """
+    n = grid_n
+    cells = n - 1
+    nch = _nch(n)
+    assert nch <= 8, "vtx meta tile holds <= 8 chunks (grid <= 1024)"
+    assert 2 * cells * cells < (1 << 24), "painter ids ride one f32"
+    ntx = -(-width // 128)
+    nty = -(-height // 8)
+    h8 = nty * 8
+    B = fields_b[0].shape[0]
+    rb = (nch + 1) * 8
+
+    stream = jax.vmap(
+        lambda *f: build_vtx_stream(f, n, width, height))(*fields_b)
+    stream = stream.reshape(B * n * rb, 128)
+
+    kernel = functools.partial(
+        _vtx_kernel, n=n, ntx=ntx, nty=nty, cells=cells, slots=slots,
+        width=width, height=height)
+
+    plane = jax.ShapeDtypeStruct((B, ntx * h8, 128), jnp.float32)
+    ovf_s = jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)
+    plane_spec = pl.BlockSpec((1, ntx * h8, 128), lambda p: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ovf_spec = pl.BlockSpec((1, 8, 128), lambda p: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    v0, v1, v2, mask, _aw, ovf = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(plane_spec,) * 5 + (ovf_spec,),
+        out_shape=(plane,) * 5 + (ovf_s,),
+        scratch_shapes=[
+            pltpu.VMEM((3, rb, 128), jnp.float32),    # vertex-row ring
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((64, 128), jnp.float32),       # both halves' cols
+            # slot-stacked matmul lhs staging (pass A needs slots*_NG*8
+            # rows; pass B back/value stacks fit below that)
+            pltpu.VMEM((slots * _NG * 8, 128), jnp.float32),
+        ],
+    )(stream)
+
+    def frameview(a):
+        a = a.reshape(B, ntx, h8, 128).transpose(0, 2, 1, 3)
+        return a.reshape(B, h8, ntx * 128)[:, :height, :width]
+
+    needed = jnp.max(ovf)
+    return (frameview(v0), frameview(v1), frameview(v2),
+            frameview(mask) > 0.5), needed
