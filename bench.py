@@ -83,7 +83,34 @@ def main() -> int:
 
     run = None
     dense_mode = os.environ.get("VF_DENSE", "packed")
-    if use_pallas and T > P.SEGMENT_THRESHOLD and dense_mode == "packed" \
+    if use_pallas and T > P.SEGMENT_THRESHOLD and dense_mode == "vtx" \
+            and P._vtx_ok(GRID, indices, WIDTH, HEIGHT):
+        # Dense grid meshes: vertex-stream kernel (~16 B/tri of HBM
+        # traffic, in-kernel triangle setup, slot-stacked deposit). The
+        # per-batch `needed` check enforces the vtx overflow contract: a
+        # span overflow falls back to the packed path below.
+        slots = max(P._vtx_slots(GRID, WIDTH, HEIGHT),
+                    int(os.environ.get("VF_BENCH_VTX_SLOTS", "8")))
+
+        def run(views, projs):
+            imgs, needed = P._terrain_render_batch_vtx(
+                xyuv, indices, heights, views, projs, lut, args["h_min"],
+                args["h_max"], args["exposure"], args["sun_dir"],
+                args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
+                fs_mode="shipped", grid_n=GRID, slots=slots)
+            sample, need = jax.device_get((jnp.sum(imgs & 0xFF), needed))
+            if float(need) > slots:
+                raise OverflowError(f"vtx span overflow: {need} > {slots}")
+            return sample
+
+        try:
+            run(*cam_sets[-1])  # compile + validate the overflow contract
+        except OverflowError:
+            run = None
+            dense_mode = "packed"
+
+    if run is None and use_pallas and T > P.SEGMENT_THRESHOLD \
+            and dense_mode == "packed" \
             and P._strips_fit(HEIGHT):
         # Dense mesh default (round 3): packed 128 B/tri stream + strip
         # walk, one dispatch per batch, no data-dependent shapes.

@@ -144,11 +144,13 @@ def build_vtx_stream(fields, n: int, width: int, height: int):
     ty0c = jnp.clip(ty0c, 0, nty - 1)
     c0c = jnp.clip(c0c, 0, ntx - 1)
     # Conservative per-(cell-row, chunk) slot demand: the cell vertex-
-    # extent bbox contains both halves' true bboxes and px1 already
-    # carries the +1 margin, so px1-px0+1 >= the kernel's span+2 overflow
-    # metric for every triangle in the chunk. Chunk-rows whose demand
-    # fits the base slot count take the cheap walk (kernel gate).
-    spanc = chunkred(jnp.where(covers, px1 - px0 + 1, 0), 0, jnp.max)
+    # extent bbox contains both halves' true bboxes, so px1-px0+2 >= the
+    # kernel's span+2 overflow metric for every triangle in the chunk
+    # (the +2, matching the kernel's rule, is required: when both px1
+    # values clip to width-1 the stamped bbox loses its +1 margin over
+    # the true one). Chunk-rows whose demand fits the base slot count
+    # take the cheap walk (kernel gate).
+    spanc = chunkred(jnp.where(covers, px1 - px0 + 2, 0), 0, jnp.max)
 
     # Stage-split measurement knobs (scripts/dev_vtx_perf.py): zeroing ntr
     # skips the whole per-chunk body (isolates DMA + row loop + meta
