@@ -529,6 +529,7 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
 
     v0, v1, v2, mask, _aw, ovf = pl.pallas_call(
         kernel,
+        interpret=os.environ.get("VF_VTX_INTERPRET") == "1",
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=(plane_spec,) * 5 + (ovf_spec,),
