@@ -15,6 +15,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from conftest import requires_tpu
+
 
 def _cpu():
     return jax.devices("cpu")[0]
@@ -230,6 +232,7 @@ def test_packed_split_grid_matches_oracle():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b)[0])
 
 
+@requires_tpu
 def test_packed_exact_ids_identical():
     # The split (hi, lo) painter compare used for T >= 2^24 must paint
     # byte-identically to the single-f32-id kernel on any scene.

@@ -10,13 +10,17 @@ import pytest
 import vulkan_forge as vf
 from vulkan_forge._raster import pipeline
 
+from conftest import requires_tpu
 
+
+@requires_tpu
 def test_triangle_backends_identical():
     a = pipeline.render_triangle_u8(96, 64, backend="jnp")
     b = pipeline.render_triangle_u8(96, 64, backend="pallas")
     np.testing.assert_array_equal(a, b)
 
 
+@requires_tpu
 def test_terrain_backends_identical(monkeypatch):
     h = (np.outer(np.linspace(0, 1, 32), np.linspace(0, 1, 32))).astype(np.float32)
     imgs = {}
@@ -28,6 +32,7 @@ def test_terrain_backends_identical(monkeypatch):
     np.testing.assert_array_equal(imgs["jnp"], imgs["pallas"])
 
 
+@requires_tpu
 def test_segment_backend_identical(monkeypatch):
     # Force the round-1 segment-walk kernel (tall-framebuffer fallback) on a
     # small scene and compare byte-for-byte against the jnp oracle.
@@ -42,6 +47,7 @@ def test_segment_backend_identical(monkeypatch):
     np.testing.assert_array_equal(seg_img, ref_img)
 
 
+@requires_tpu
 def test_segment_backend_forced_column_major_identical(monkeypatch):
     # Regression: the axis-adaptive (column-major) walk must gather each
     # permuted stream position's record from its ORIGINAL row; a mismatch
@@ -65,6 +71,7 @@ def test_segment_backend_forced_column_major_identical(monkeypatch):
     np.testing.assert_array_equal(seg_img, s2.render_rgba())
 
 
+@requires_tpu
 def test_strip_backend_identical(monkeypatch):
     # The strip-walk kernel (round-2 dense-mesh default) must match the jnp
     # oracle byte-for-byte through the Scene API.
@@ -81,6 +88,7 @@ def test_strip_backend_identical(monkeypatch):
     np.testing.assert_array_equal(strip_img, s2.render_rgba())
 
 
+@requires_tpu
 def test_packed_backend_identical(monkeypatch):
     # The packed-stream kernel (round-3 dense-mesh default, 128 B/tri)
     # must match the jnp oracle byte-for-byte through the Scene API.
@@ -98,6 +106,7 @@ def test_packed_backend_identical(monkeypatch):
     np.testing.assert_array_equal(packed_img, s2.render_rgba())
 
 
+@requires_tpu
 def test_hw_fill_rule_backends_identical(monkeypatch):
     # VF_FILL_RULE=hw must produce identical pixels on the pallas backends
     # (list kernel; strips for dense routes) and the jnp oracle.
@@ -126,6 +135,7 @@ def test_hw_fill_rule_backends_identical(monkeypatch):
     assert not np.array_equal(imgs["jnp"], s2.render_rgba())
 
 
+@requires_tpu
 def test_strips_batch_matches_single():
     # Batched strip path (one pallas_call for B frames) must equal B
     # single-frame renders exactly.
@@ -166,6 +176,7 @@ def test_strips_batch_matches_single():
                                       np.asarray(single))
 
 
+@requires_tpu
 def test_segment_exact_ids_identical():
     # The split (hi, lo) painter compare used for T >= 2^24 must paint
     # byte-identically to the single-f32-id path on any scene.
@@ -241,6 +252,7 @@ def test_backface_culling():
     assert not bool(np.asarray(mask).any())
 
 
+@requires_tpu
 def test_adjacent_triangles_no_cracks_no_overdraw_gaps():
     # Two triangles sharing a diagonal must cover every pixel of the quad
     # interior with no holes (watertightness along the shared edge).
@@ -324,6 +336,7 @@ def test_lut_bilinear_vs_cpu_reference():
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+@requires_tpu
 def test_deposit_backend_identical(monkeypatch):
     """Candidate-deposit kernel (deposit.py) byte-equals the jnp oracle on
     a genuinely subpixel mesh, including the MXU one-hot transport of
@@ -383,6 +396,7 @@ def test_deposit_params_rejects_wide_triangles():
     assert pipeline._deposit_params(bbox, 800, 600) is None
 
 
+@requires_tpu
 def test_segment_dma_alignment_adversarial():
     """Adversarial cover for the segment kernel's DMA-start down-alignment
     (segments.py seg_params): a PERMUTED stream whose per-row intervals
@@ -440,6 +454,7 @@ def test_segment_dma_alignment_adversarial():
             np.where(both, np.asarray(a), 0), np.where(both, np.asarray(b), 0))
 
 
+@requires_tpu
 def test_visits_backend_identical():
     """Visit-list strip kernel (deposit.render_gbuffer_visits) byte-equals
     the jnp oracle on a subpixel mesh."""
@@ -482,6 +497,7 @@ def test_visits_backend_identical():
             np.where(both, np.asarray(a), 0), np.where(both, np.asarray(b), 0))
 
 
+@requires_tpu
 def test_strips_extended_fs_matches_oracle(monkeypatch):
     """Dense-path selection combined with the EXTENDED fragment pipeline
     (Renderer.render_rgba's mode): force the strip walk on a small DEM and
@@ -559,6 +575,7 @@ def test_raster_odd_shapes_vs_bruteforce(wh):
                                    atol=1e-5)
 
 
+@requires_tpu
 def test_deposit_collision_heavy_stack_exact():
     """Adversarial for the MXU deposit kernel: many SAME-SLAB triangles
     covering the same cells (a stack of overlapping quads) -- the 2^rel
@@ -614,6 +631,7 @@ def test_deposit_collision_heavy_stack_exact():
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])
+@requires_tpu
 def test_terrain_backends_identical_random_cameras(monkeypatch, seed):
     """Backend byte-identity under randomized cameras (fixed-camera tests
     can hide angle-dependent kernel bugs; the round-1 segment-perm defect
