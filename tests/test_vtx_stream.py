@@ -110,6 +110,37 @@ def test_meta_unclean_cells_fullscreen():
             assert spanc >= W                            # demands overflow
 
 
+def test_meta_clean_stamp():
+    """Clip-clean stamp (lane 5): interior scenes stamp 1 everywhere; a
+    chunk containing a w<=eps or out-of-[0,1]-z vertex stamps 0."""
+    grid, W, H = 24, 96, 64
+    x, y, z, w, vary, indices = _spike_fields(grid, W, H, (3.0, 2.0, 3.0))
+    zero = jnp.zeros_like(x)
+
+    def meta_of(wv, zv):
+        fields = (x, y, wv, vary[:, 0], vary[:, 1], vary[:, 2], zv, zero)
+        stream = np.asarray(vtx.build_vtx_stream(fields, grid, W, H))
+        nch = vtx._nch(grid)
+        return stream.reshape(grid, nch + 1, 8, 128)[:, nch]
+
+    clean = meta_of(w, z)[:grid - 1, 0, 5]
+    assert np.all(clean == 1.0), "interior spike scene must be clip-clean"
+
+    w_bad = w.at[40].set(jnp.float32(1e-9))
+    dirty = meta_of(w_bad, z)[:grid - 1, 0, 5]
+    r = 40 // grid
+    for rr in (r - 1, r):
+        if 0 <= rr < grid - 1:
+            assert dirty[rr] == 0.0, "w<=eps vertex must dirty its rows"
+
+    z_bad = z.at[100].set(jnp.float32(1.5))            # past far plane
+    dirty_z = meta_of(w, z_bad)[:grid - 1, 0, 5]
+    r2 = 100 // grid
+    for rr in (r2 - 1, r2):
+        if 0 <= rr < grid - 1:
+            assert dirty_z[rr] == 0.0, "z>1 vertex must dirty its rows"
+
+
 def test_stream_field_layout():
     """Vertex row r chunk kx lives at rows ((r*(nch+1))+kx)*8..+8, with
     sublane f = field f of 128 consecutive verts."""

@@ -152,6 +152,18 @@ def build_vtx_stream(fields, n: int, width: int, height: int):
     # take the cheap walk (kernel gate).
     spanc = chunkred(jnp.where(covers, px1 - px0 + 2, 0), 0, jnp.max)
 
+    # Clip-clean stamp (meta lane 5): a cell whose 4 corners all have
+    # w > eps and z_ndc in [0, 1] yields triangles with every vertex
+    # inside the near/far volume; z_clip is affine over the triangle, so
+    # the kernel's per-pixel az/asum clip tests provably pass everywhere
+    # inside coverage and the cheap walk may skip them (bit-identical
+    # coverage by construction). Inactive cells don't poison the chunk.
+    zn = g[6]
+    cell_clean = ((c4(w, jnp.minimum) > _W_EPS)
+                  & (c4(zn, jnp.minimum) >= 0.0)
+                  & (c4(zn, jnp.maximum) <= 1.0))
+    cleanc = chunkred((cell_clean | ~covers).astype(jnp.int32), 1, jnp.min)
+
     # Stage-split measurement knobs (scripts/dev_vtx_perf.py): zeroing ntr
     # skips the whole per-chunk body (isolates DMA + row loop + meta
     # reads); zeroing ncl runs in-kernel setup but no raster trips. Same
@@ -161,9 +173,9 @@ def build_vtx_stream(fields, n: int, width: int, height: int):
     elif os.environ.get("VF_VTX_STAGE") == "setup":
         ncl = jnp.zeros_like(ncl)
 
-    meta5 = jnp.stack([ty0c, ntr, c0c, ncl, spanc],
+    meta6 = jnp.stack([ty0c, ntr, c0c, ncl, spanc, cleanc],
                       axis=-1).astype(jnp.float32)
-    meta = jnp.pad(meta5, ((0, 1), (0, 8 - nch), (0, 123)))  # (n, 8, 128)
+    meta = jnp.pad(meta6, ((0, 1), (0, 8 - nch), (0, 122)))  # (n, 8, 128)
 
     stream = jnp.concatenate([fld, meta[:, None]], axis=1)
     return stream.reshape(n * (nch + 1) * 8, 128)
@@ -224,20 +236,23 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
     def colk(k, j):
         return cols_ref[k * 32 + j, :].reshape(1, 128)
 
-    def eval_slot(k, s, py, values=True):
+    def eval_slot(k, s, py, values=True, clean=False):
         # Candidate coverage (+ numerators) at pixel column px0+s: the
         # exact trip formulas of tiles.py/packed.py in the same f32 order.
+        # clean=True skips the per-pixel near/far tests -- only legal for
+        # chunk-rows whose clip-clean stamp proves they always pass.
         px = colk(k, 31) + (jnp.float32(s) + 0.5)
         f0 = colk(k, 2) * (px - colk(k, 0)) - colk(k, 3) * (py - colk(k, 1))
         f1 = colk(k, 6) * (px - colk(k, 4)) - colk(k, 7) * (py - colk(k, 5))
         f2 = (colk(k, 10) * (px - colk(k, 8))
               - colk(k, 11) * (py - colk(k, 9)))
         aw = f0 * colk(k, 21) + f1 * colk(k, 22) + f2 * colk(k, 23)
-        az = f0 * colk(k, 25) + f1 * colk(k, 26) + f2 * colk(k, 27)
-        asum = f0 * colk(k, 28) + f1 * colk(k, 29) + f2 * colk(k, 30)
         cov = ((f0 >= 0.0) & (f1 >= 0.0) & (f2 >= 0.0)
-               & (colk(k, 24) > 0.0)
-               & (az >= 0.0) & (aw > 0.0) & (asum - az >= 0.0))
+               & (colk(k, 24) > 0.0) & (aw > 0.0))
+        if not clean:
+            az = f0 * colk(k, 25) + f1 * colk(k, 26) + f2 * colk(k, 27)
+            asum = f0 * colk(k, 28) + f1 * colk(k, 29) + f2 * colk(k, 30)
+            cov = cov & (az >= 0.0) & (asum - az >= 0.0)
         covf = cov.astype(jnp.float32)
         if not values:
             return covf, None, None, None, None
@@ -283,7 +298,7 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
     # for a given slot count, and each chunk-row walks with the cheap
     # base-slot trip unless its stamped span (meta lane 4) needs more.
 
-    def make_trip(nsl):
+    def make_trip(nsl, clean=False):
       Q = nsl - 1
 
       def trip(ty, c, base_f):
@@ -309,7 +324,8 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
         win_h = []
         for k in (0, 1):
             for s in range(nsl):
-                covf, _, _, _, _ = eval_slot(k, s, py, values=False)
+                covf, _, _, _, _ = eval_slot(k, s, py, values=False,
+                                             clean=clean)
                 bm = covf * pwl
                 for g in range(_NG):
                     lhs_ref[pl.ds((s * _NG + g) * 8, 8), :] = bm * gmaskf[g]
@@ -354,7 +370,7 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
         for k in (0, 1):
             back = hi_dot(blo, PT_lo_k[k]) + hi_dot(bhi, PT_hi_k[k])
             for s in range(nsl):
-                covf, a0, a1, a2, aw = eval_slot(k, s, py)
+                covf, a0, a1, a2, aw = eval_slot(k, s, py, clean=clean)
                 backs = back[s * 8:(s + 1) * 8, :]
                 keep = covf * (backs == relf_k[k]).astype(jnp.float32)
                 lhs_ref[pl.ds(s * 32, 8), :] = keep * a0
@@ -457,19 +473,26 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
 
                     jax.lax.fori_loop(0, ntr, ty_body, 0)
 
+                # Demand gates: chunk-rows whose stamped span fits the
+                # base slot count (the overwhelming majority -- only
+                # near-camera rows need more) take the cheap trip, and
+                # clip-clean ones additionally skip the per-pixel
+                # near/far tests. The rare full walk keeps everything.
                 base = min(4, slots)
-                if base == slots:
-                    walk_with(make_trip(slots))
-                else:
-                    # Demand gate: chunk-rows whose stamped span fits the
-                    # base slot count (the overwhelming majority -- only
-                    # near-camera rows need more) take the cheap trip.
-                    spv = mrow[kx, 4]
+                spv = mrow[kx, 4]
+                clv = mrow[kx, 5]
+                fits = (spv <= jnp.float32(base)) if base < slots \
+                    else (ntr > 0)
 
-                    @pl.when(spv <= jnp.float32(base))
-                    def _cheap():
-                        walk_with(make_trip(base))
+                @pl.when(fits & (clv > 0.5))
+                def _cheap_clean():
+                    walk_with(make_trip(base, clean=True))
 
+                @pl.when(fits & (clv <= 0.5))
+                def _cheap_clip():
+                    walk_with(make_trip(base))
+
+                if base < slots:
                     @pl.when(spv > jnp.float32(base))
                     def _full():
                         walk_with(make_trip(slots))
