@@ -233,6 +233,20 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
 
+    def bit_dot(a, bm):
+        """One-pass bf16 MXU dot, bit-exact for this kernel's bitmask and
+        id transports: every LHS entry is 0, a power of two (pass A's
+        2^(lane%24) bitmask) or a small integer (back-transport rels,
+        |rel| <= 255 < 2^8), every RHS entry 0/1 -- all exactly
+        representable in bf16 -- and the MXU accumulates in f32, where
+        sums of distinct powers below 2^24 stay exact. HIGHEST-precision
+        f32 needs 3-6 MXU passes; this needs one. Values (pass B's
+        keep*a transports) must stay on hi_dot."""
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), bm.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     def colk(k, j):
         return cols_ref[k * 32 + j, :].reshape(1, 128)
 
@@ -330,8 +344,8 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
                 for g in range(_NG):
                     lhs_ref[pl.ds((s * _NG + g) * 8, 8), :] = bm * gmaskf[g]
             stack = lhs_ref[0:nsl * _NG * 8, :]
-            RA_lo = hi_dot(stack, P_lo_k[k])
-            RA_hi = hi_dot(stack, P_hi_k[k])
+            RA_lo = bit_dot(stack, P_lo_k[k])
+            RA_hi = bit_dot(stack, P_hi_k[k])
             WA = jnp.zeros((_NG * 8, 128), jnp.float32)
             for s in range(nsl):
                 band = slice(s * _NG * 8, (s + 1) * _NG * 8)
@@ -368,7 +382,7 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
         # the HIGHEST one-hot transport is bit-exact.
         WB = jnp.zeros((32, 128), jnp.float32)
         for k in (0, 1):
-            back = hi_dot(blo, PT_lo_k[k]) + hi_dot(bhi, PT_hi_k[k])
+            back = bit_dot(blo, PT_lo_k[k]) + bit_dot(bhi, PT_hi_k[k])
             for s in range(nsl):
                 covf, a0, a1, a2, aw = eval_slot(k, s, py, clean=clean)
                 backs = back[s * 8:(s + 1) * 8, :]
