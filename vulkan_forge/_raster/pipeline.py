@@ -375,8 +375,12 @@ def _terrain_render_batch_vtx(xyuv, indices, heights, views, projs, lut,
         return (xf, yf, w, vary[:, 0], vary[:, 1], vary[:, 2], zf, zero)
 
     fields_b = jax.vmap(vs_fields)(views, projs)
+    # Dense grids (sub-pixel cells): 4-slot cheap walk covers almost all
+    # chunk-rows. Moderate grids span many pixels uniformly -- gating on
+    # span would spill everything, so only the clip-clean gate applies.
+    base = 4 if grid_n >= 512 else slots
     (v0, v1, v2, mask), needed = vtx.render_gbuffer_vtx_batch(
-        fields_b, grid_n, width, height, slots=slots)
+        fields_b, grid_n, width, height, slots=slots, base_slots=base)
     if fs_mode == "shipped":
         h_range = h_max - h_min
         imgs = jax.vmap(

@@ -184,7 +184,7 @@ def build_vtx_stream(fields, n: int, width: int, height: int):
 def _vtx_kernel(vs_ref,                              # HBM vertex stream
                 v0_ref, v1_ref, v2_ref, mask_ref, aw_ref, ovf_ref,
                 vring, sem, cols_ref, lhs_ref,
-                *, n, ntx, nty, cells, slots, width, height):
+                *, n, ntx, nty, cells, slots, base_slots, width, height):
     b = pl.program_id(0)
     nch = _nch(n)
     h8 = nty * 8
@@ -492,7 +492,7 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
                 # near-camera rows need more) take the cheap trip, and
                 # clip-clean ones additionally skip the per-pixel
                 # near/far tests. The rare full walk keeps everything.
-                base = min(4, slots)
+                base = min(base_slots, slots)
                 spv = mrow[kx, 4]
                 clv = mrow[kx, 5]
                 fits = (spv <= jnp.float32(base)) if base < slots \
@@ -528,7 +528,7 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
 
 
 def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
-                             slots: int = 4):
+                             slots: int = 4, base_slots: "int | None" = None):
     """B frames through the vertex-stream kernel.
 
     fields_b: tuple of FLD (B, n*n) f32 vertex field vectors (post-VS).
@@ -536,7 +536,10 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
     ``needed`` is the max over the batch of (bbox span + 1) -- the frame
     batch is only valid when needed <= slots (see module docstring); the
     caller re-renders through the packed path and raises its slots ratchet
-    otherwise.
+    otherwise. base_slots sets the cheap walk's slot count for the
+    span-demand gate (default 4, right for dense grids whose typical
+    triangle spans 1-3 px); pass base_slots=slots for moderate grids
+    whose spans are uniformly large -- the clip-clean gate still applies.
     """
     n = grid_n
     cells = n - 1
@@ -555,7 +558,7 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
 
     kernel = functools.partial(
         _vtx_kernel, n=n, ntx=ntx, nty=nty, cells=cells, slots=slots,
-        width=width, height=height)
+        base_slots=min(base_slots or 4, slots), width=width, height=height)
 
     plane = jax.ShapeDtypeStruct((B, ntx * h8, 128), jnp.float32)
     ovf_s = jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)
