@@ -8,12 +8,43 @@ kept so the diagnostics CLI emits the same JSON shape.
 """
 from __future__ import annotations
 
+import os
+import queue
+import threading
 import time
-from typing import Any, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 _KNOWN_BACKENDS = ("TPU", "CPU", "AUTO")
 # Graphics backends from the reference CLI surface; reported as unsupported.
 _LEGACY_BACKENDS = ("VULKAN", "DX12", "METAL", "GL")
+
+# A dead remote device plugin (e.g. the compile/claim tunnel going away
+# mid-session -- observed live) makes backend init block FOREVER, turning
+# "failure detection" into a hang. Probes run the first device touch on a
+# daemon thread with a deadline so the taxonomy gains an honest "error:
+# timed out" instead. 0 disables the watchdog.
+_PROBE_TIMEOUT_S = float(os.environ.get("VF_PROBE_TIMEOUT", "120"))
+
+
+def _with_deadline(fn: Callable[[], Any], timeout_s: float):
+    """Run fn() on a daemon thread; (ok, value_or_exc, timed_out)."""
+    if not timeout_s or timeout_s <= 0:
+        return True, fn(), False
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+
+    def run():
+        try:
+            q.put((True, fn()))
+        except Exception as e:                     # propagate as value
+            q.put((False, e))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        ok, val = q.get(timeout=timeout_s)
+        return ok, val, False
+    except queue.Empty:
+        return False, None, True
 
 
 def _device_dict(d) -> Dict[str, Any]:
@@ -33,11 +64,10 @@ def _device_dict(d) -> Dict[str, Any]:
 def enumerate_adapters() -> List[Dict[str, Any]]:
     """All visible JAX devices as adapter dicts (parity: src/lib.rs:744-777)."""
     import jax
-    try:
-        devices = jax.devices()
-    except Exception:
-        devices = []
-    return [_device_dict(d) for d in devices]
+    ok, val, timed_out = _with_deadline(jax.devices, _PROBE_TIMEOUT_S)
+    if timed_out or not ok:
+        return []
+    return [_device_dict(d) for d in val]
 
 
 def device_probe(backend: Optional[str] = None) -> Dict[str, Any]:
@@ -59,16 +89,24 @@ def device_probe(backend: Optional[str] = None) -> Dict[str, Any]:
         return out
 
     try:
-        if b == "AUTO":
-            devices = jax.devices()
-        else:
-            try:
-                devices = jax.devices(b.lower())
-            except RuntimeError as e:
+        getter = (jax.devices if b == "AUTO"
+                  else (lambda: jax.devices(b.lower())))
+        ok, val, timed_out = _with_deadline(getter, _PROBE_TIMEOUT_S)
+        if timed_out:
+            out["status"] = "error"
+            out["message"] = (f"device discovery timed out after "
+                              f"{_PROBE_TIMEOUT_S:.0f}s (dead device "
+                              f"plugin/tunnel?)")
+            out["millis"] = (time.perf_counter() - t0) * 1000.0
+            return out
+        if not ok:
+            if b != "AUTO" and isinstance(val, RuntimeError):
                 out["status"] = "unsupported"
-                out["message"] = str(e)
+                out["message"] = str(val)
                 out["millis"] = (time.perf_counter() - t0) * 1000.0
                 return out
+            raise val
+        devices = val
         if not devices:
             out["status"] = "unsupported"
             out["message"] = "No suitable accelerator device"
@@ -85,10 +123,24 @@ def device_probe(backend: Optional[str] = None) -> Dict[str, Any]:
         out["features"] = info["features"]
         out["limits"] = info["limits"]
 
-        # The analog of request_device: run a trivial computation end to end.
+        # The analog of request_device: run a trivial computation end to end
+        # (deadline-guarded too: a wedged device hangs dispatch, not just
+        # discovery).
         import jax.numpy as jnp
-        x = jax.device_put(jnp.arange(8, dtype=jnp.float32), d)
-        val = float(jax.jit(lambda v: v.sum())(x))
+
+        def compute():
+            x = jax.device_put(jnp.arange(8, dtype=jnp.float32), d)
+            return float(jax.jit(lambda v: v.sum())(x))
+
+        ok, val, timed_out = _with_deadline(compute, _PROBE_TIMEOUT_S)
+        if timed_out:
+            out["status"] = "error"
+            out["message"] = (f"probe computation timed out after "
+                              f"{_PROBE_TIMEOUT_S:.0f}s (wedged device?)")
+            out["millis"] = (time.perf_counter() - t0) * 1000.0
+            return out
+        if not ok:
+            raise val
         if val != 28.0:
             out["status"] = "error"
             out["message"] = f"probe computation returned {val}, expected 28.0"
