@@ -1,10 +1,7 @@
 """vtx pipeline plumbing: eligibility gate + slots ratchet (CPU-checkable)."""
 from __future__ import annotations
 
-import os
-
 import numpy as np
-import pytest
 import jax.numpy as jnp
 
 from vulkan_forge._raster import pipeline as P
