@@ -89,8 +89,9 @@ def main() -> int:
         # traffic, in-kernel triangle setup, slot-stacked deposit). The
         # per-batch `needed` check enforces the vtx overflow contract: a
         # span overflow falls back to the packed path below.
-        slots = max(P._vtx_slots(GRID, WIDTH, HEIGHT),
-                    int(os.environ.get("VF_BENCH_VTX_SLOTS", "8")))
+        slots = min(max(P._vtx_slots(GRID, WIDTH, HEIGHT),
+                        int(os.environ.get("VF_BENCH_VTX_SLOTS", "8"))),
+                    128)  # two-window placement limit (vtx.py)
 
         def run(views, projs):
             imgs, needed = P._terrain_render_batch_vtx(

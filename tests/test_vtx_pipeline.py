@@ -22,6 +22,12 @@ def test_vtx_ok_gate():
     assert not P._vtx_ok(64, idx64[:-1], 800, 600)
     # accumulator planes must fit VMEM: huge framebuffer fails the gate
     assert not P._vtx_ok(64, idx64, 8192, 8192)
+    # a ratchet past the two-window placement limit routes to packed
+    P._VTX_RATCHET[(64, 800, 600)] = 256
+    try:
+        assert not P._vtx_ok(64, idx64, 800, 600)
+    finally:
+        P._VTX_RATCHET.pop((64, 800, 600), None)
 
 
 def test_vtx_slots_ratchet():

@@ -332,9 +332,12 @@ def _vtx_bump(grid_n, width, height, needed: float) -> None:
 def _vtx_ok(grid_n, indices, width: int, height: int) -> bool:
     """Vertex-stream kernel eligibility: build_grid_xyuv(grid_n) topology
     (triangles are synthesized in-kernel from the vertex grid), <= 8
-    vertex chunks (grid <= 1024), painter ids on one f32, and the five
-    full-frame accumulator planes fit VMEM."""
+    vertex chunks (grid <= 1024), painter ids on one f32, a slot demand
+    within the kernel's two-window placement limit (<= 128), and the
+    five full-frame accumulator planes fit VMEM."""
     if grid_n is None or grid_n < 2 or grid_n > 1024:
+        return False
+    if _vtx_slots(grid_n, width, height) > 128:
         return False
     t = 2 * (grid_n - 1) * (grid_n - 1)
     if int(indices.shape[0]) != t or t >= (1 << 24):

@@ -546,6 +546,13 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
     nch = _nch(n)
     assert nch <= 8, "vtx meta tile holds <= 8 chunks (grid <= 1024)"
     assert 2 * cells * cells < (1 << 24), "painter ids ride one f32"
+    # The slot-stacked placement covers candidate anchors with exactly
+    # two 128-column windows (P_lo at px0_rel+Q, P_hi at px0_rel+Q-128):
+    # their union spans px0_rel in [-Q, 128], which contains every
+    # in-tile candidate only while Q = slots-1 <= 127. Beyond that,
+    # deposits drop SILENTLY while `needed <= slots` still validates --
+    # callers must route such scenes to the packed path instead.
+    assert slots <= 128, "vtx slot capacity tops out at 128"
     ntx = -(-width // 128)
     nty = -(-height // 8)
     h8 = nty * 8
