@@ -82,6 +82,26 @@ def test_vtx_gbuffer_byte_parity(grid, W, H, slots, B, eye):
         assert np.array_equal(np.asarray(ref[3]), got[3][b]), ("mask", b)
 
 
+def test_vtx_coverage_exact_in_interpret_mode(monkeypatch):
+    """Structure check that runs ANYWHERE: the interpret-mode kernel's
+    COVERAGE must match the tile oracle exactly (placement, winner
+    resolution, demand/clip gates, walk ranges). Values are excluded --
+    XLA:CPU fma contraction adds ulps there; hardware byte parity is the
+    TPU tests above."""
+    monkeypatch.setenv("VF_VTX_INTERPRET", "1")
+    grid, W, H, slots = 24, 64, 48, 8
+    x, y, z, w, vary = _spike(grid, W, H, (3.0, 2.0, 3.0))
+    ref = _oracle(x, y, z, w, vary, grid, W, H)
+    zero = jnp.zeros_like(x)
+    fields_b = tuple(f[None] for f in (x, y, w, vary[:, 0], vary[:, 1],
+                                       vary[:, 2], z, zero))
+    (_v0, _v1, _v2, m), needed = vtx.render_gbuffer_vtx_batch(
+        fields_b, grid, W, H, slots=slots)
+    m, needed = jax.device_get((m[0], needed))
+    assert float(needed) <= slots
+    assert np.array_equal(np.asarray(ref[3]), m), "coverage diverges"
+
+
 @requires_tpu
 def test_vtx_overflow_reports_honestly():
     """A camera demanding more slots than provided must report

@@ -91,7 +91,7 @@ def build_vtx_stream(fields, n: int, width: int, height: int):
 
     The stamped (ty0, ntr, c0, ncl) ranges are CONSERVATIVE cell-level
     unions from vertex extents (+1 px margin, matching the kernel's
-    span+1 overflow rule): for clean-w cells they always contain the true
+    span+2 overflow rule): for clean-w cells they always contain the true
     pixel-center bbox of both halves' triangles; cells touching w <= eps
     get full-screen ranges so the kernel is guaranteed to visit them and
     trip the span overflow (vertex extents are meaningless under a
@@ -533,7 +533,7 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
 
     fields_b: tuple of FLD (B, n*n) f32 vertex field vectors (post-VS).
     Returns ((v0, v1, v2, mask) each (B, H, W), needed (f32 scalar)):
-    ``needed`` is the max over the batch of (bbox span + 1) -- the frame
+    ``needed`` is the max over the batch of (bbox span + 2) -- the frame
     batch is only valid when needed <= slots (see module docstring); the
     caller re-renders through the packed path and raises its slots ratchet
     otherwise. base_slots sets the cheap walk's slot count for the
