@@ -71,6 +71,10 @@ def test_vtx_render_path_end_to_end(monkeypatch):
               exposure=1.0, sun_dir=sun, lut=lut, width=W, height=H,
               fs_mode="shipped", backend="pallas", grid_n=grid)
     img_vtx = P.render_terrain_u8(xyuv, idx, heights, view, proj, **kw)
+    # the extended (fwd-diff normals + Reinhard) epilogue plumbs too
+    img_ext = P.render_terrain_u8(xyuv, idx, heights, view, proj,
+                                  **{**kw, "fs_mode": "extended"})
+    assert img_ext.shape == (H, W, 4) and img_ext[..., 3].min() == 255
     monkeypatch.setenv("VF_DENSE", "packed")
     monkeypatch.setattr(P, "SEGMENT_THRESHOLD", 10**9)   # default path
     img_ref = P.render_terrain_u8(xyuv, idx, heights, view, proj,
