@@ -56,7 +56,21 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     from vulkan_forge import _colormap, _mesh
+    from vulkan_forge import _device
     from vulkan_forge._raster import pipeline as P
+
+    # Preflight with a deadline: a dead device plugin/tunnel (observed
+    # live) hangs backend init forever -- emit an honest one-line error
+    # record instead of hanging the harness that invoked us.
+    ok, _val, timed_out = _device._with_deadline(
+        jax.devices, float(os.environ.get("VF_BENCH_PROBE_TIMEOUT", "300")))
+    if timed_out or not ok:
+        print(json.dumps({
+            "metric": f"terrain_throughput_grid{GRID}_{WIDTH}x{HEIGHT}_b{BATCH}",
+            "value": 0.0,
+            "unit": "Mpix/s", "vs_baseline": 0.0,
+            "error": "device discovery timed out (dead device tunnel?)"}))
+        return 1
 
     xyuv_np, idx_np = _mesh.build_grid_xyuv(GRID)
     xyuv = jnp.asarray(xyuv_np)
