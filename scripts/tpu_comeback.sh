@@ -27,3 +27,7 @@ timeout 900 python scripts/dev_vtx_perf.py 128 800 600 12 8 6
 echo "=== bench: vtx vs packed ==="
 VF_DENSE=vtx timeout 1800 python bench.py
 timeout 1800 python bench.py
+
+echo "=== full suite on TPU (incl. vtx kernel parity + goldens) ==="
+timeout 3000 python -m pytest tests/ -q --timeout=1200 2>/dev/null \
+  || timeout 3000 python -m pytest tests/ -q
