@@ -75,7 +75,18 @@ def main() -> int:
     xyuv_np, idx_np = _mesh.build_grid_xyuv(GRID)
     xyuv = jnp.asarray(xyuv_np)
     indices = jnp.asarray(idx_np.astype(np.int32).reshape(-1, 3))
-    heights = jnp.zeros((1, 1), jnp.float32)  # spike: analytic relief only
+    # Default scene: the analytic spike (1x1 dummy heights). VF_BENCH_DEM=N
+    # swaps in a real N x N height texture (SURVEY §7.8's 2048^2 regime):
+    # the vertex stage then performs one nearest texture sample per vertex.
+    dem_n = int(os.environ.get("VF_BENCH_DEM", "0"))
+    if dem_n > 0:
+        gy, gx = np.meshgrid(np.linspace(0, 6, dem_n, dtype=np.float32),
+                             np.linspace(0, 6, dem_n, dtype=np.float32),
+                             indexing="ij")
+        heights = jnp.asarray((np.sin(gx) * np.cos(gy) * 0.25
+                               ).astype(np.float32))
+    else:
+        heights = jnp.zeros((1, 1), jnp.float32)  # analytic relief only
     lut, _ = _colormap.build_lut("viridis")
     lut = jnp.asarray(lut)
 
@@ -239,7 +250,8 @@ def main() -> int:
     mpix = (WIDTH * HEIGHT * BATCH) / dt / 1e6
     baseline_mpix = 21.0  # reference budget: 1024^2 in 50 ms
     result = {
-        "metric": f"terrain_throughput_grid{GRID}_{WIDTH}x{HEIGHT}_b{BATCH}",
+        "metric": f"terrain_throughput_grid{GRID}_{WIDTH}x{HEIGHT}_b{BATCH}"
+                  + (f"_dem{dem_n}" if dem_n else ""),
         "value": round(mpix, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix / baseline_mpix, 2),
