@@ -319,12 +319,11 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
         colx0 = (c * 128).astype(jnp.float32)
         py = dy + (ty * 8).astype(jnp.float32) + 0.5
 
-        px0_rel_k, P_lo_k, P_hi_k, PT_lo_k, PT_hi_k = [], [], [], [], []
+        P_lo_k, P_hi_k, PT_lo_k, PT_hi_k = [], [], [], []
         for k in (0, 1):
             px0_rel = colk(k, 31) - colx0
             px0_colT = px0_rel.T                     # (128, 1)
             qf = jnp.float32(Q)
-            px0_rel_k.append(px0_rel)
             P_lo_k.append((px0_colT + qf == xio_c).astype(jnp.float32))
             P_hi_k.append((px0_colT + (qf - 128.0) == xio_c)
                           .astype(jnp.float32))
