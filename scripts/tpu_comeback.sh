@@ -1,33 +1,53 @@
 #!/bin/bash
-# Hardware validation queue for the round-3d vtx work (gated+clean
+# Hardware validation queue for the round-3d vtx work (the gated+clean
 # kernel never ran on the real chip -- the axon tunnel went down
-# mid-bring-up). Run top to bottom; each phase gates the next.
+# mid-bring-up). Run phases as SEPARATE bounded foreground commands
+# (never background tasks a harness might SIGKILL mid-claim/dispatch --
+# that wedges the device grant; see CLAUDE.md):
+#
+#   bash scripts/tpu_comeback.sh probe     # ~1 min
+#   bash scripts/tpu_comeback.sh parity    # ~6 min (3 configs)
+#   bash scripts/tpu_comeback.sh perf      # ~8 min (1024 slots 8 + 4)
+#   bash scripts/tpu_comeback.sh stage     # ~4 min (dma/setup splits)
+#   bash scripts/tpu_comeback.sh g128      # ~4 min (moderate mesh)
+#   bash scripts/tpu_comeback.sh bench     # ~8 min (vtx vs packed)
+#   bash scripts/tpu_comeback.sh suite     # ~40 min (full TPU pytest)
+#
+# No argument = everything in order (only safe when nothing can kill us).
 set -x
 cd /root/repo
+PHASE="${1:-all}"
 
-echo "=== device probe ==="
-timeout 120 python -c "import jax; print(jax.devices())" || exit 1
+run_probe() { timeout 120 python -c "import jax; print(jax.devices())"; }
+run_parity() {
+  timeout 500 python scripts/dev_vtx.py 48 96 64 6 1 || return 1
+  timeout 500 python scripts/dev_vtx.py 12 96 64 16 1 || return 1
+  timeout 500 python scripts/dev_vtx.py 33 117 83 8 2 || return 1
+}
+run_perf() {
+  timeout 560 python scripts/dev_vtx_perf.py 1024 800 600 8 4 6
+  timeout 560 python scripts/dev_vtx_perf.py 1024 800 600 4 4 6
+}
+run_stage() {
+  VF_VTX_STAGE=dma timeout 500 python scripts/dev_vtx_perf.py 1024 800 600 8 4 4
+  VF_VTX_STAGE=setup timeout 500 python scripts/dev_vtx_perf.py 1024 800 600 8 4 4
+}
+run_g128() { timeout 560 python scripts/dev_vtx_perf.py 128 800 600 12 8 6; }
+run_bench() {
+  VF_DENSE=vtx timeout 560 python bench.py
+  timeout 560 python bench.py
+}
+run_suite() { timeout 3000 python -m pytest tests/ -q; }
 
-echo "=== parity: gated+clean kernel ==="
-timeout 900 python scripts/dev_vtx.py 48 96 64 6 1 || exit 1
-timeout 900 python scripts/dev_vtx.py 12 96 64 16 1 || exit 1
-timeout 900 python scripts/dev_vtx.py 33 117 83 8 2 || exit 1
-
-echo "=== perf: north star grid=1024 ==="
-timeout 1500 python scripts/dev_vtx_perf.py 1024 800 600 8 4 6
-timeout 1500 python scripts/dev_vtx_perf.py 1024 800 600 4 4 6
-
-echo "=== stage splits (same executable, data-only knobs) ==="
-VF_VTX_STAGE=dma timeout 900 python scripts/dev_vtx_perf.py 1024 800 600 8 4 4
-VF_VTX_STAGE=setup timeout 900 python scripts/dev_vtx_perf.py 1024 800 600 8 4 4
-
-echo "=== perf: moderate mesh grid=128 ==="
-timeout 900 python scripts/dev_vtx_perf.py 128 800 600 12 8 6
-
-echo "=== bench: vtx vs packed ==="
-VF_DENSE=vtx timeout 1800 python bench.py
-timeout 1800 python bench.py
-
-echo "=== full suite on TPU (incl. vtx kernel parity + goldens) ==="
-timeout 3000 python -m pytest tests/ -q --timeout=1200 2>/dev/null \
-  || timeout 3000 python -m pytest tests/ -q
+case "$PHASE" in
+  probe)  run_probe ;;
+  parity) run_parity ;;
+  perf)   run_perf ;;
+  stage)  run_stage ;;
+  g128)   run_g128 ;;
+  bench)  run_bench ;;
+  suite)  run_suite ;;
+  all)    run_probe && run_parity && run_perf && run_stage \
+            && run_g128 && run_bench && run_suite ;;
+  *) echo "unknown phase $PHASE"; exit 2 ;;
+esac
