@@ -60,17 +60,15 @@ def main() -> int:
     from vulkan_forge._raster import pipeline as P
 
     # Preflight with a deadline: a dead device plugin/tunnel (observed
-    # live) hangs backend init forever -- emit an honest one-line error
-    # record instead of hanging the harness that invoked us.
-    ok, _val, timed_out = _device._with_deadline(
-        jax.devices, float(os.environ.get("VF_BENCH_PROBE_TIMEOUT", "300")))
+    # live) hangs backend init forever. Rather than hang -- or emit a
+    # value-0 error record (round 3) -- fall back to a bounded forced-CPU
+    # measurement at a reduced config, honestly labeled.
+    probe_s = float(os.environ.get("VF_BENCH_PROBE_TIMEOUT", "120"))
+    if _device.relay_hint_dead():
+        probe_s = min(probe_s, 10.0)
+    ok, _val, timed_out = _device._with_deadline(jax.devices, probe_s)
     if timed_out or not ok:
-        print(json.dumps({
-            "metric": f"terrain_throughput_grid{GRID}_{WIDTH}x{HEIGHT}_b{BATCH}",
-            "value": 0.0,
-            "unit": "Mpix/s", "vs_baseline": 0.0,
-            "error": "device discovery timed out (dead device tunnel?)"}))
-        return 1
+        return _cpu_fallback()
 
     xyuv_np, idx_np = _mesh.build_grid_xyuv(GRID)
     xyuv = jnp.asarray(xyuv_np)
@@ -130,7 +128,11 @@ def main() -> int:
             return sample
 
         try:
-            run(*cam_sets[-1])  # compile + validate the overflow contract
+            # Compile + validate the overflow contract on EVERY camera set
+            # the timed loop will see: a mid-benchmark OverflowError would
+            # crash without printing the one JSON line.
+            for cs in cam_sets:
+                run(*cs)
         except OverflowError:
             run = None
             dense_mode = "packed"
@@ -160,35 +162,6 @@ def main() -> int:
             # artifact that local-HBM readback does not have.
             # device_get, NOT block_until_ready (CLAUDE.md trap 2).
             return jax.device_get(run_sum(views, projs))
-
-    if (run is None and use_pallas and T > P.SEGMENT_THRESHOLD
-            and dense_mode == "visits"
-            and P._deposit_fit(T, HEIGHT)):
-        # Dense mesh, first choice: visit-list strip kernel (deposit.py),
-        # ONE dispatch per batch. Ratchet the visit capacity from frame 0;
-        # an overflow during the run aborts to the strip-walk path
-        # (correctness: a truncated visit list would drop geometry).
-        v0_, p0_ = cam_sets[0]
-        rec0, bbox0 = P._terrain_records(
-            xyuv, indices, heights, v0_[0], p0_[0], args["spacing"],
-            args["exaggeration"], WIDTH, HEIGHT)
-        cap = P._visits_params(bbox0, WIDTH, HEIGHT)
-
-        def run(views, projs):
-            imgs, ovf = P._terrain_render_batch_visits(
-                xyuv, indices, heights, views, projs, lut,
-                args["h_min"], args["h_max"], args["exposure"],
-                args["sun_dir"], args["spacing"], args["exaggeration"],
-                WIDTH, HEIGHT, cap)
-            sample, o = jax.device_get((jnp.sum(imgs & 0xFF), ovf))
-            if bool(o):
-                raise OverflowError("visit list overflow")
-            return sample
-
-        try:
-            run(*cam_sets[-1])  # compile + validate
-        except OverflowError:
-            run = None
 
     if run is None and use_pallas and T > P.SEGMENT_THRESHOLD \
             and P._strips_fit(HEIGHT):
@@ -254,10 +227,60 @@ def main() -> int:
                   + (f"_dem{dem_n}" if dem_n else ""),
         "value": round(mpix, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix / baseline_mpix, 2),
+        "vs_baseline": round(mpix / baseline_mpix, 4),
     }
+    if os.environ.get("VF_BENCH_REEXEC") == "1":
+        result["device"] = "cpu"
+        result["note"] = ("TPU tunnel dead; forced-CPU fallback at a "
+                          "reduced config")
+        print(json.dumps(result))
+        return 0  # perf gate/baseline are TPU-only records
     print(json.dumps(result))
     return _enforce_perf(result)
+
+
+def _cpu_fallback() -> int:
+    """Dead device tunnel: measure on a forced-CPU re-exec instead.
+
+    ``JAX_PLATFORMS=cpu`` alone does not stick under the device plugin's
+    sitecustomize hook; an empty ``PALLAS_AXON_POOL_IPS`` skips the register
+    hook (CLAUDE.md). The config shrinks to one a host CPU completes in
+    ~1 min (grid=128 at 400x300) and the record carries ``device: cpu`` so
+    the number is never mistaken for a TPU measurement. vs_baseline stays
+    the fraction of the reference's 21 Mpix/s GPU budget.
+    """
+    import subprocess
+    if os.environ.get("VF_BENCH_CPU_FALLBACK", "1") == "0" \
+            or os.environ.get("VF_BENCH_REEXEC") == "1":
+        print(json.dumps({
+            "metric": f"terrain_throughput_grid{GRID}_{WIDTH}x{HEIGHT}_b{BATCH}",
+            "value": 0.0,
+            "unit": "Mpix/s", "vs_baseline": 0.0,
+            "error": "device discovery timed out (dead device tunnel?)"}))
+        return 1
+    env = dict(os.environ)
+    env.update({"VF_BENCH_REEXEC": "1", "JAX_PLATFORMS": "cpu",
+                "PALLAS_AXON_POOL_IPS": "",
+                "VF_BENCH_GRID": str(min(GRID, 128)),
+                "VF_BENCH_W": str(min(WIDTH, 400)),
+                "VF_BENCH_H": str(min(HEIGHT, 300)),
+                "VF_BENCH_BATCH": "4", "VF_BENCH_REPS": "2"})
+    print("bench: device discovery timed out (dead tunnel); re-exec'ing "
+          "forced-CPU at a reduced config", file=sys.stderr)
+    budget = float(os.environ.get("VF_BENCH_SUBPROC_TIMEOUT", "420"))
+    try:
+        # Child stdout inherits ours: it prints the ONE JSON line.
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, timeout=budget)
+        return proc.returncode
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": f"terrain_throughput_grid{GRID}_{WIDTH}x{HEIGHT}_b{BATCH}",
+            "value": 0.0,
+            "unit": "Mpix/s", "vs_baseline": 0.0,
+            "error": "dead tunnel and the CPU fallback exceeded "
+                     f"{budget:.0f}s"}))
+        return 1
 
 
 def _enforce_perf(result) -> int:

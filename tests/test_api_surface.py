@@ -67,3 +67,18 @@ def test_make_terrain_validation(tmp_path):
     out = tmp_path / "t.png"
     t.render_png(str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_size_wh_rule_ordering():
+    # Reference shim rule ordering (python/vulkan_forge/_validate.py:15-22):
+    # BOTH dims pass > 0 before either is held to the <= 8192 bound.
+    from vulkan_forge._validate import size_wh
+    with pytest.raises(ValueError, match="width and height must be > 0"):
+        size_wh(9000, 0)
+    with pytest.raises(ValueError, match="width and height must be > 0"):
+        size_wh(0, 9000)
+    with pytest.raises(ValueError, match="width/height must be <= 8192"):
+        size_wh(9000, 16)
+    with pytest.raises(ValueError, match="must be an integer"):
+        size_wh("x", 16)
+    assert size_wh(8192, 1) == (8192, 1)

@@ -26,10 +26,43 @@ _LEGACY_BACKENDS = ("VULKAN", "DX12", "METAL", "GL")
 _PROBE_TIMEOUT_S = float(os.environ.get("VF_PROBE_TIMEOUT", "120"))
 
 
+def relay_hint_dead() -> bool:
+    """Fast TCP-level hint that the remote device relay is gone.
+
+    A connection-refused on the relay port means ``jax.devices()`` will
+    block forever (the plugin retries the claim indefinitely). Used only to
+    SHORTEN probe deadlines -- never to skip the probe -- so a wrong hint
+    (nonstandard port, pure-CPU build) costs nothing but a shorter wait.
+    Returns False whenever the plugin is not in play (JAX_PLATFORMS=cpu or
+    an explicitly empty PALLAS_AXON_POOL_IPS skips the register hook).
+    """
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return False
+    if os.environ.get("PALLAS_AXON_POOL_IPS") == "":
+        return False
+    import socket
+    addr = os.environ.get("VF_AXON_RELAY", "127.0.0.1:8103")
+    host, _, port = addr.rpartition(":")
+    try:
+        with socket.create_connection((host or "127.0.0.1", int(port)),
+                                      timeout=2.0):
+            return False
+    except (OSError, ValueError):
+        return True
+
+
 def _with_deadline(fn: Callable[[], Any], timeout_s: float):
-    """Run fn() on a daemon thread; (ok, value_or_exc, timed_out)."""
+    """Run fn() on a daemon thread; (ok, value_or_exc, timed_out).
+
+    Never raises: exceptions come back as (False, exc, False) on both the
+    watchdog and the VF_PROBE_TIMEOUT=0 (disabled) paths, so callers like
+    enumerate_adapters keep their never-raises contract either way.
+    """
     if not timeout_s or timeout_s <= 0:
-        return True, fn(), False
+        try:
+            return True, fn(), False
+        except Exception as e:
+            return False, e, False
     q: "queue.Queue" = queue.Queue(maxsize=1)
 
     def run():

@@ -23,8 +23,10 @@ def render_spike_frames(width: int, height: int, grid: int,
     devices. Returns (B, H, W, 4) uint8.
 
     ``eyes``: sequence of (x, y, z) camera positions (target=origin, up=Y).
-    ``devices``: jax devices to shard over (default: all). B must divide by
-    the device count; pad the camera list if needed.
+    ``devices``: jax devices to shard over (default: all). Any frame count
+    works on any mesh: the camera batch is padded internally to a multiple
+    of the device count (repeating the last camera) and the pad frames are
+    sliced off the result.
     """
     import jax
     import jax.numpy as jnp
@@ -48,8 +50,8 @@ def render_spike_frames(width: int, height: int, grid: int,
     devs = list(devices) if devices is not None else jax.devices()
     B = len(eyes)
     n = len(devs)
-    if B % n != 0:
-        raise ValueError(f"frame count {B} must be divisible by device count {n}")
+    if B == 0:
+        raise ValueError("need at least one camera")
 
     xyuv_np, idx_np = _mesh.build_grid_xyuv(grid)
     xyuv = jnp.asarray(xyuv_np)
@@ -64,13 +66,19 @@ def render_spike_frames(width: int, height: int, grid: int,
                             np.float32(znear), np.float32(zfar))
     views = np.stack([look_at_rh(e, (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
                       for e in eyes])
-    projs = np.broadcast_to(proj, (B, 4, 4)).copy()
+    # Pad to a multiple of the device count (repeat the last camera); the
+    # pad frames are rendered and discarded -- shard_map needs equal shards.
+    pad = (-B) % n
+    if pad:
+        views = np.concatenate([views, np.repeat(views[-1:], pad, axis=0)])
+    projs = np.broadcast_to(proj, (B + pad, 4, 4)).copy()
 
     mesh = Mesh(np.array(devs), ("frames",))
     use_pallas = pipe.backend_name() == "pallas" and devs[0].platform == "tpu"
     T = int(indices.shape[0])
 
-    if T > pipe.SEGMENT_THRESHOLD:
+    if (T > pipe.SEGMENT_THRESHOLD and pipe._strips_fit(height)
+            and T < (1 << 24)):
         # Dense meshes (the grid=1024 flagship config): the packed-stream
         # strip walk -- no capacity prepass, no data-dependent shapes, so
         # it shards over the frame axis with zero host synchronization.
@@ -109,4 +117,5 @@ def render_spike_frames(width: int, height: int, grid: int,
     with mesh:
         imgs_u32 = jax.jit(sharded)(jnp.asarray(views), jnp.asarray(projs))
         imgs_u32 = jax.device_get(imgs_u32)
-    return np.stack([_formats.u32_image_to_rgba_u8(f) for f in imgs_u32])
+    return np.stack([_formats.u32_image_to_rgba_u8(f)
+                     for f in imgs_u32[:B]])

@@ -31,12 +31,17 @@ def _int_field(value, name: str, checks) -> int:
 
 
 def size_wh(width, height) -> Tuple[int, int]:
-    dims = []
-    for name, v in (("width", width), ("height", height)):
-        dims.append(_int_field(v, name, (
+    # Rule ordering matches the reference shim: BOTH dims pass the > 0
+    # check before either is held to the <= MAX_DIM bound (so e.g.
+    # size_wh(9000, 0) reports the > 0 violation).
+    dims = [_int_field(v, name, ())
+            for name, v in (("width", width), ("height", height))]
+    for rule, message in (
             (lambda n: n > 0, "width and height must be > 0"),
-            (lambda n: n <= MAX_DIM, f"width/height must be <= {MAX_DIM}"),
-        )))
+            (lambda n: n <= MAX_DIM, f"width/height must be <= {MAX_DIM}")):
+        for n in dims:
+            if not rule(n):
+                raise ValueError(message)
     return dims[0], dims[1]
 
 
