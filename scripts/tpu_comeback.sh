@@ -11,6 +11,9 @@
 #   bash scripts/tpu_comeback.sh stage     # ~4 min (dma/setup splits)
 #   bash scripts/tpu_comeback.sh g128      # ~4 min (moderate mesh)
 #   bash scripts/tpu_comeback.sh bench     # ~8 min (vtx vs packed)
+#   bash scripts/tpu_comeback.sh variants  # ~10 min (NEXT.md queue 1-3:
+#                                          #  recompute_p/fcache/concat_lhs
+#                                          #  trip-body bake-off at 1024)
 #   bash scripts/tpu_comeback.sh suite     # ~40 min (full TPU pytest)
 #
 # No argument = everything in order (only safe when nothing can kill us).
@@ -38,6 +41,11 @@ run_bench() {
   timeout 560 python bench.py
 }
 run_suite() { timeout 3000 python -m pytest tests/ -q; }
+run_variants() {
+  # identity at a parity config, then the grid=1024 bake-off
+  timeout 560 python scripts/dev_vtx_variants.py 48 96 64 6 1 || return 1
+  timeout 580 python scripts/dev_vtx_variants.py 1024 800 600 4 4 4
+}
 
 case "$PHASE" in
   probe)  run_probe ;;
@@ -46,8 +54,9 @@ case "$PHASE" in
   stage)  run_stage ;;
   g128)   run_g128 ;;
   bench)  run_bench ;;
+  variants) run_variants ;;
   suite)  run_suite ;;
   all)    run_probe && run_parity && run_perf && run_stage \
-            && run_g128 && run_bench && run_suite ;;
+            && run_g128 && run_variants && run_bench && run_suite ;;
   *) echo "unknown phase $PHASE"; exit 2 ;;
 esac

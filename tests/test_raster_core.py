@@ -337,66 +337,6 @@ def test_lut_bilinear_vs_cpu_reference():
 
 
 @requires_tpu
-def test_deposit_backend_identical(monkeypatch):
-    """Candidate-deposit kernel (deposit.py) byte-equals the jnp oracle on
-    a genuinely subpixel mesh, including the MXU one-hot transport of
-    varyings (single-contributor exactness) and the bitmask winner."""
-    import jax
-    import jax.numpy as jnp
-    from vulkan_forge import _mesh
-    from vulkan_forge._camera import look_at_rh, perspective_wgpu
-    from vulkan_forge._raster import deposit as dep
-    from vulkan_forge._raster import tiles
-    from vulkan_forge._raster.setup import (bin_triangles, tile_counts,
-                                            tile_span_max)
-
-    W, H, grid = 320, 240, 320
-    xyuv, idx = _mesh.build_grid_xyuv(grid)
-    indices = jnp.asarray(idx.astype(np.int32).reshape(-1, 3))
-    heights = jnp.zeros((1, 1), np.float32)
-    view = jnp.asarray(look_at_rh((2.6, 1.9, 2.2), (0, 0, 0), (0, 1, 0)))
-    proj = jnp.asarray(perspective_wgpu(
-        np.float32(np.radians(45)), np.float32(W / H),
-        np.float32(0.1), np.float32(100)))
-    records, bbox = pipeline._terrain_records(
-        jnp.asarray(xyuv), indices, heights, view, proj,
-        jnp.float32(1.0), jnp.float32(1.0), W, H)
-
-    cmax, span = jax.device_get(pipeline._deposit_stats(bbox, W, H))
-    assert int(span) <= 8, "scene must be subpixel for this test"
-    cap = pipeline._round_capacity(int(cmax))
-    slots = 4 if int(span) <= 4 else 8
-    (v0, v1, v2, m), ovf = dep.render_gbuffer_deposit(
-        records, bbox, W, H, cap, slots)
-    assert not bool(jax.device_get(ovf))
-
-    c2 = int(jax.device_get(tile_counts(bbox, W, H).max()))
-    sx, sy = jax.device_get(tile_span_max(bbox, W, H))
-    binning = bin_triangles(bbox, W, H, max(pipeline._round_capacity(c2), 8),
-                            span_x=pipeline._round_span(int(sx)),
-                            span_y=pipeline._round_span(int(sy)))
-    o0, o1, o2, om = tiles.render_gbuffer(records, binning.tile_lists, W, H)
-
-    np.testing.assert_array_equal(np.asarray(m), np.asarray(om))
-    both = np.asarray(m)
-    for a, b in ((v0, o0), (v1, o1), (v2, o2)):
-        a_, b_ = np.asarray(a), np.asarray(b)
-        np.testing.assert_array_equal(
-            np.where(both, a_, 0), np.where(both, b_, 0))
-    assert both.sum() > 5000
-
-
-def test_deposit_params_rejects_wide_triangles():
-    """Scenes whose triangles exceed 8 px bbox width are not deposit
-    scenes: the ratchet prepass must route them to the strip walk."""
-    import jax.numpy as jnp
-    # one huge triangle
-    bbox = jnp.asarray(np.array([[0, 500, 0, 300]], np.int32))
-    pipeline._DEPOSIT_RATCHET.clear()
-    assert pipeline._deposit_params(bbox, 800, 600) is None
-
-
-@requires_tpu
 def test_segment_dma_alignment_adversarial():
     """Adversarial cover for the segment kernel's DMA-start down-alignment
     (segments.py seg_params): a PERMUTED stream whose per-row intervals
@@ -450,49 +390,6 @@ def test_segment_dma_alignment_adversarial():
     np.testing.assert_array_equal(np.asarray(ms), np.asarray(om))
     both = np.asarray(om)
     for a, b in ((v0s, o0), (v1s, o1), (v2s, o2)):
-        np.testing.assert_array_equal(
-            np.where(both, np.asarray(a), 0), np.where(both, np.asarray(b), 0))
-
-
-@requires_tpu
-def test_visits_backend_identical():
-    """Visit-list strip kernel (deposit.render_gbuffer_visits) byte-equals
-    the jnp oracle on a subpixel mesh."""
-    import jax
-    import jax.numpy as jnp
-    from vulkan_forge import _mesh
-    from vulkan_forge._camera import look_at_rh, perspective_wgpu
-    from vulkan_forge._raster import deposit as dep
-    from vulkan_forge._raster import tiles
-    from vulkan_forge._raster.setup import (bin_triangles, tile_counts,
-                                            tile_span_max)
-
-    W, H, grid = 320, 240, 320
-    xyuv, idx = _mesh.build_grid_xyuv(grid)
-    indices = jnp.asarray(idx.astype(np.int32).reshape(-1, 3))
-    heights = jnp.zeros((1, 1), np.float32)
-    view = jnp.asarray(look_at_rh((2.6, 1.9, 2.2), (0, 0, 0), (0, 1, 0)))
-    proj = jnp.asarray(perspective_wgpu(
-        np.float32(np.radians(45)), np.float32(W / H),
-        np.float32(0.1), np.float32(100)))
-    records, bbox = pipeline._terrain_records(
-        jnp.asarray(xyuv), indices, heights, view, proj,
-        jnp.float32(1.0), jnp.float32(1.0), W, H)
-
-    cap = pipeline._visits_params(bbox, W, H)
-    (v0, v1, v2, m), ovf = dep.render_gbuffer_visits(records, bbox, W, H, cap)
-    assert not bool(jax.device_get(ovf))
-
-    c2 = int(jax.device_get(tile_counts(bbox, W, H).max()))
-    sx, sy = jax.device_get(tile_span_max(bbox, W, H))
-    binning = bin_triangles(bbox, W, H, max(pipeline._round_capacity(c2), 8),
-                            span_x=pipeline._round_span(int(sx)),
-                            span_y=pipeline._round_span(int(sy)))
-    o0, o1, o2, om = tiles.render_gbuffer(records, binning.tile_lists, W, H)
-
-    np.testing.assert_array_equal(np.asarray(m), np.asarray(om))
-    both = np.asarray(m)
-    for a, b in ((v0, o0), (v1, o1), (v2, o2)):
         np.testing.assert_array_equal(
             np.where(both, np.asarray(a), 0), np.where(both, np.asarray(b), 0))
 
@@ -575,62 +472,6 @@ def test_raster_odd_shapes_vs_bruteforce(wh):
                                    atol=1e-5)
 
 
-@requires_tpu
-def test_deposit_collision_heavy_stack_exact():
-    """Adversarial for the MXU deposit kernel: many SAME-SLAB triangles
-    covering the same cells (a stack of overlapping quads) -- the 2^rel
-    bitmask winner and the gather-back loser-kill must keep pass B a
-    single-contributor transport. Byte-compare vs the jnp oracle."""
-    import jax
-    import jax.numpy as jnp
-    from vulkan_forge._raster import deposit as dep
-    from vulkan_forge._raster import tiles
-    from vulkan_forge._raster.setup import (bin_triangles, clip_to_fb,
-                                            tile_counts, tile_span_max,
-                                            triangle_setup)
-
-    W, H = 128, 64
-    rng = np.random.default_rng(3)
-    n = 96                                   # < SLAB_T: all in one slab
-    # small overlapping triangles jittered around one spot (subpixel size
-    # to satisfy the slot-span limit)
-    cx, cy = rng.uniform(-0.2, 0.2, (2,))
-    centers = np.stack([cx + rng.uniform(-0.08, 0.08, n),
-                        cy + rng.uniform(-0.08, 0.08, n)], 1)
-    offs = rng.standard_normal((n, 3, 2)) * 0.03
-    v = (centers[:, None, :] + offs).reshape(-1, 2).astype(np.float32)
-    clip = np.concatenate([v, np.full((n * 3, 1), 0.5, np.float32),
-                           np.ones((n * 3, 1), np.float32)], 1)
-    attrs = rng.uniform(-3, 3, (n * 3, 3)).astype(np.float32)
-    indices = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
-
-    x, y, z, w = clip_to_fb(jnp.asarray(clip), W, H)
-    records, bbox = triangle_setup(x, y, z, w, jnp.asarray(attrs),
-                                   jnp.asarray(indices), W, H)
-    cmax, span = jax.device_get(pipeline._deposit_stats(bbox, W, H))
-    if int(span) > 8:
-        pytest.skip("jitter produced an over-wide triangle")
-    (v0, v1, v2, m), ovf = dep.render_gbuffer_deposit(
-        records, bbox, W, H, pipeline._round_capacity(int(cmax)),
-        4 if int(span) <= 4 else 8)
-    assert not bool(jax.device_get(ovf))
-
-    c2 = int(jax.device_get(tile_counts(bbox, W, H).max()))
-    sx, sy = jax.device_get(tile_span_max(bbox, W, H))
-    binning = bin_triangles(bbox, W, H, max(pipeline._round_capacity(c2), 8),
-                            span_x=pipeline._round_span(int(sx)),
-                            span_y=pipeline._round_span(int(sy)))
-    o0, o1, o2, om = tiles.render_gbuffer(records, binning.tile_lists, W, H)
-
-    om_ = np.asarray(om)
-    assert om_.sum() > 5, "stack missed the framebuffer"
-    np.testing.assert_array_equal(np.asarray(m), om_)
-    for a, b in ((v0, o0), (v1, o1), (v2, o2)):
-        np.testing.assert_array_equal(
-            np.where(om_, np.asarray(a), 0), np.where(om_, np.asarray(b), 0))
-
-
-@pytest.mark.parametrize("seed", [1, 2, 3])
 @requires_tpu
 def test_terrain_backends_identical_random_cameras(monkeypatch, seed):
     """Backend byte-identity under randomized cameras (fixed-camera tests

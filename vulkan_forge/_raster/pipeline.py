@@ -400,132 +400,6 @@ def _terrain_render_batch_vtx(xyuv, indices, heights, views, projs, lut,
     return imgs, needed
 
 
-# ---------------- candidate-deposit dense path ----------------
-
-def _deposit_fit(T: int, height: int) -> bool:
-    from . import deposit as dep
-    nty = -(-height // TILE_H)
-    h8 = nty * TILE_H
-    return (T < (1 << 24) and nty <= dep._NTY_PAD
-            and h8 * 128 * 4 * 5 < 12 * 2**20)
-
-
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def _deposit_stats(bbox, width, height):
-    from . import deposit as dep
-    counts = dep.visit_counts(bbox, width, height)
-    valid = bbox[:, 1] >= bbox[:, 0]
-    span = jnp.where(valid, bbox[:, 1] - bbox[:, 0] + 1, 0).max()
-    return counts.max(), span
-
-
-# Ratchet cache: (T, W, H) -> (visit_cap, slots). Same growth-only policy
-# as the list path's capacity ratchet: one host sync per miss, camera
-# orbits reuse one executable.
-_DEPOSIT_RATCHET: dict = {}
-
-
-def _deposit_params(bbox, width, height):
-    key = (int(bbox.shape[0]), width, height)
-    prev = _DEPOSIT_RATCHET.get(key)
-    if prev is None:
-        cmax, span = jax.device_get(_deposit_stats(bbox, width, height))
-        if int(span) > 8:
-            return None  # triangles too wide: not a dense mesh
-        cap = min(_round_capacity(int(cmax) * 2), 16384)  # VMEM entry limit
-        if int(cmax) > 16384:
-            return None  # visit lists too long for the experimental path
-        slots = 4 if int(span) <= 4 else 8
-        _DEPOSIT_RATCHET[key] = (cap, slots)
-        return cap, slots
-    return prev
-
-
-def _deposit_bump(bbox, width, height):
-    """Grow the ratchet after an overflow (visits or span exceeded)."""
-    key = (int(bbox.shape[0]), width, height)
-    cmax, span = jax.device_get(_deposit_stats(bbox, width, height))
-    if int(span) > 8:
-        _DEPOSIT_RATCHET.pop(key, None)
-        return None
-    prev = _DEPOSIT_RATCHET.get(key, (8, 4))
-    cap = min(max(_round_capacity(int(cmax) * 2), prev[0]), 16384)
-    slots = max(4 if int(span) <= 4 else 8, prev[1])
-    _DEPOSIT_RATCHET[key] = (cap, slots)
-    return cap, slots
-
-
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def _visits_stats(bbox, width, height):
-    """Block-granular visit counts + span (visit-list strip kernel)."""
-    from . import deposit as dep
-    counts = dep.visit_counts(bbox, width, height,
-                              slab_t=dep.BLOCK_T, group_t=dep.BLOCK_T)
-    return counts.max()
-
-
-_VISITS_RATCHET: dict = {}
-
-
-def _visits_params(bbox, width, height, bump=False):
-    key = (int(bbox.shape[0]), width, height)
-    prev = _VISITS_RATCHET.get(key)
-    if prev is None or bump:
-        cmax = int(jax.device_get(_visits_stats(bbox, width, height)))
-        cap = _round_capacity(cmax * 2)
-        if prev is not None:
-            cap = max(cap, prev * (2 if bump else 1))
-        _VISITS_RATCHET[key] = cap
-        return cap
-    return prev
-
-
-@functools.partial(jax.jit, static_argnames=("width", "height", "cap",
-                                             "fs_mode"))
-def _terrain_render_visits(records, bbox, heights, lut, h_min, h_max,
-                           exposure, sun_dir, spacing, exaggeration,
-                           width, height, cap, fs_mode="shipped"):
-    """Visit-list strip kernel (deposit.render_gbuffer_visits): flat list
-    of active (8-tri block, tile-row) visits -- the dense-mesh default.
-    Returns (u32 image, overflow bool)."""
-    from . import deposit as dep
-    (v0, v1, v2, mask), ovf = dep.render_gbuffer_visits(
-        records, bbox, width, height, cap)
-    if fs_mode == "shipped":
-        h_range = h_max - h_min
-        img = fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure,
-                                  sun_dir)
-    else:
-        img = fragment.terrain_fs_extended(v0, v1, v2, mask, lut, heights,
-                                           h_min, h_max, exposure, sun_dir,
-                                           spacing, exaggeration)
-    return img, ovf
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "width", "height", "cap", "slots", "fs_mode"))
-def _terrain_render_deposit(records, bbox, heights, lut, h_min, h_max,
-                            exposure, sun_dir, spacing, exaggeration,
-                            width, height, cap, slots, fs_mode="shipped"):
-    """Candidate-deposit pallas path (deposit.py): subpixel meshes.
-
-    Returns (u32 image, overflow bool). On overflow the image is invalid
-    (visit list truncated / span exceeded) and the caller falls back.
-    """
-    from . import deposit as dep
-    (v0, v1, v2, mask), ovf = dep.render_gbuffer_deposit(
-        records, bbox, width, height, cap, slots)
-    if fs_mode == "shipped":
-        h_range = h_max - h_min
-        img = fragment.terrain_fs(v0, v1, v2, mask, lut, h_range, exposure,
-                                  sun_dir)
-    else:
-        img = fragment.terrain_fs_extended(v0, v1, v2, mask, lut, heights,
-                                           h_min, h_max, exposure, sun_dir,
-                                           spacing, exaggeration)
-    return img, ovf
-
-
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "row_size", "cap", "tile_h", "tile_w", "fs_mode"))
 def _terrain_render_segments(records, bbox, heights, lut, h_min, h_max,
@@ -614,7 +488,7 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     dense_mode = os.environ.get("VF_DENSE", "packed")
     # Hardware fill-rule mode (VF_FILL_RULE=hw): 8.8 snap + top-left rule
     # (setup.py). Supported on the jnp oracle, the list kernel and the
-    # strips kernel; hw records carry bias columns the packed/visits/mxu
+    # strips kernel; hw records carry bias columns the packed/vtx
     # streams have no room for, so dense hw renders route to strips.
     fill_rule = os.environ.get("VF_FILL_RULE", "inclusive")
     if fill_rule not in ("inclusive", "hw"):
@@ -666,38 +540,7 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
             xyuv, indices, heights, view, proj, spacing, exaggeration,
             width, height, fill_rule=fill_rule)
 
-    if (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "visits"
-            and _deposit_fit(T, height)):
-        # Dense meshes: flat visit-list strip kernel -- only active
-        # (block, tile-row) pairs reach the kernel. Overflow (a frame
-        # exceeding the ratcheted visit capacity) bumps and falls back.
-        cap = _visits_params(bbox, width, height)
-        img_u32, ovf = _terrain_render_visits(
-            records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
-            nsp, exaggeration, width, height, cap, fs_mode=fs_mode)
-        if bool(jax.device_get(ovf)):
-            _visits_params(bbox, width, height, bump=True)
-            rs = int(row_size) if row_size else T
-            img_u32 = _terrain_render_strips(
-                records, bbox, heights, lut, h_min, h_max, exposure,
-                sun_dir, nsp, exaggeration, width, height, rs,
-                fs_mode=fs_mode)
-    elif (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "mxu"
-            and _deposit_fit(T, height)
-            and (dp := _deposit_params(bbox, width, height)) is not None):
-        # Experimental: candidate-deposit kernel (MXU one-hot placement).
-        cap, slots = dp
-        img_u32, ovf = _terrain_render_deposit(
-            records, bbox, heights, lut, h_min, h_max, exposure, sun_dir,
-            nsp, exaggeration, width, height, cap, slots, fs_mode=fs_mode)
-        if bool(jax.device_get(ovf)):
-            _deposit_bump(bbox, width, height)
-            rs = int(row_size) if row_size else T
-            img_u32 = _terrain_render_strips(
-                records, bbox, heights, lut, h_min, h_max, exposure,
-                sun_dir, nsp, exaggeration, width, height, rs,
-                fs_mode=fs_mode)
-    elif be == "pallas" and _strips_fit(height):
+    if be == "pallas" and _strips_fit(height):
         # Strip-walk kernel straight over draw-order records: each
         # (mesh-row, tile-column) interval is walked once into a
         # full-height VMEM strip. row_size is the id stride of one mesh
@@ -807,60 +650,6 @@ def _terrain_render_batch_strips(xyuv, indices, heights, views, projs, lut,
         lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
                                                exposure, sun_dir)
     )(v0, v1, v2, mask)
-
-
-@functools.partial(jax.jit, static_argnames=("width", "height", "cap",
-                                             "fs_mode"))
-def _terrain_render_batch_visits(xyuv, indices, heights, views, projs, lut,
-                                 h_min, h_max, exposure, sun_dir, spacing,
-                                 exaggeration, width, height, cap,
-                                 fs_mode="shipped"):
-    """Batched visit-list strip path: B frames in one dispatch.
-    Returns (imgs (B,H,W) u32, overflow bool)."""
-    from . import deposit as dep
-
-    def prep(view, proj):
-        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
-                                              spacing, exaggeration)
-        x, y, _z, w = clip_to_fb(clip, width, height)
-        return triangle_setup(x, y, _z, w, varyings, indices, width, height)
-
-    records_b, bbox_b = jax.vmap(prep)(views, projs)
-    (v0, v1, v2, mask), ovf = dep.render_gbuffer_visits_batch(
-        records_b, bbox_b, width, height, cap)
-    h_range = h_max - h_min
-    imgs = jax.vmap(
-        lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
-                                               exposure, sun_dir)
-    )(v0, v1, v2, mask)
-    return imgs, ovf
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "width", "height", "cap", "slots", "fs_mode"))
-def _terrain_render_batch_deposit(xyuv, indices, heights, views, projs, lut,
-                                  h_min, h_max, exposure, sun_dir, spacing,
-                                  exaggeration, width, height, cap, slots,
-                                  fs_mode="shipped"):
-    """Batched candidate-deposit path: B frames in one dispatch, one
-    pallas_call. Returns (imgs (B,H,W) u32, overflow bool)."""
-    from . import deposit as dep
-
-    def prep(view, proj):
-        clip, varyings = transform.terrain_vs(xyuv, heights, view, proj,
-                                              spacing, exaggeration)
-        x, y, _z, w = clip_to_fb(clip, width, height)
-        return triangle_setup(x, y, _z, w, varyings, indices, width, height)
-
-    records_b, bbox_b = jax.vmap(prep)(views, projs)
-    (v0, v1, v2, mask), ovf = dep.render_gbuffer_deposit_batch(
-        records_b, bbox_b, width, height, cap, slots)
-    h_range = h_max - h_min
-    imgs = jax.vmap(
-        lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
-                                               exposure, sun_dir)
-    )(v0, v1, v2, mask)
-    return imgs, ovf
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -1,7 +1,8 @@
 """Vertex-stream raster backend: in-kernel triangle setup + MXU deposit.
 
 Round-3 flagship path for grid meshes. Every earlier dense backend
-(strips/packed/deposit) streams per-TRIANGLE records from HBM -- >= 128 B
+(strips/packed, and the pruned round-2b deposit generation -- see git
+history) streams per-TRIANGLE records from HBM -- >= 128 B
 per triangle -- and this environment's measured DMA throughput (~8-12 GB/s
 effective with a ~4 us/descriptor floor, see docs/NEXT.md round-3c) makes
 that stream alone cost ~40 ms/frame at grid=1024. But a grid mesh's
@@ -183,8 +184,25 @@ def build_vtx_stream(fields, n: int, width: int, height: int):
 
 def _vtx_kernel(vs_ref,                              # HBM vertex stream
                 v0_ref, v1_ref, v2_ref, mask_ref, aw_ref, ovf_ref,
-                vring, sem, cols_ref, lhs_ref,
-                *, n, ntx, nty, cells, slots, base_slots, width, height):
+                vring, sem, cols_ref, lhs_ref, *scratch,
+                n, ntx, nty, cells, slots, base_slots, width, height,
+                variant=""):
+    # variant: measured-experiment trip-body alternatives (docs/NEXT.md
+    # round-3d queue; all byte-identical math in identical order):
+    #   ""            -- shipped: P/PT placement matrices built once per
+    #                    trip and held live across both passes.
+    #   "recompute_p" -- rebuild P/PT at each use site (pass A needs 2,
+    #                    pass B 4): 8 held (128,128) f32 tiles = 128 live
+    #                    vregs is the register-spill suspect behind the
+    #                    ~5-10x per-slot-unit cost gap.
+    #   "fcache"      -- pass A computes AND caches covf/a0/a1/a2/aw per
+    #                    (half, slot) in a VMEM scratch; pass B loads
+    #                    instead of re-evaluating (~35 ops -> 10 ld/st).
+    #   "concat_lhs"  -- build the stacked MXU LHS operands as
+    #                    jnp.concatenate VALUES instead of staging through
+    #                    lhs_ref (tests whether Mosaic feeds the MXU from
+    #                    vregs and skips the store/load roundtrip).
+    fc_ref = scratch[0] if variant == "fcache" else None
     b = pl.program_id(0)
     nch = _nch(n)
     h8 = nty * 8
@@ -318,33 +336,60 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
       def trip(ty, c, base_f):
         colx0 = (c * 128).astype(jnp.float32)
         py = dy + (ty * 8).astype(jnp.float32) + 0.5
+        qf = jnp.float32(Q)
 
-        P_lo_k, P_hi_k, PT_lo_k, PT_hi_k = [], [], [], []
-        for k in (0, 1):
+        def build_P(k):
+            px0_colT = (colk(k, 31) - colx0).T       # (128, 1)
+            return ((px0_colT + qf == xio_c).astype(jnp.float32),
+                    (px0_colT + (qf - 128.0) == xio_c).astype(jnp.float32))
+
+        def build_PT(k):
             px0_rel = colk(k, 31) - colx0
-            px0_colT = px0_rel.T                     # (128, 1)
-            qf = jnp.float32(Q)
-            P_lo_k.append((px0_colT + qf == xio_c).astype(jnp.float32))
-            P_hi_k.append((px0_colT + (qf - 128.0) == xio_c)
-                          .astype(jnp.float32))
-            PT_lo_k.append((px0_rel + qf == xio_s).astype(jnp.float32))
-            PT_hi_k.append((px0_rel + (qf - 128.0) == xio_s)
-                           .astype(jnp.float32))
+            return ((px0_rel + qf == xio_s).astype(jnp.float32),
+                    (px0_rel + (qf - 128.0) == xio_s).astype(jnp.float32))
+
+        if variant == "recompute_p":
+            # Rebuild at each use site; nothing held across passes.
+            get_P, get_PT = build_P, build_PT
+        else:
+            P_k = [build_P(0), build_P(1)]
+            PT_k = [build_PT(0), build_PT(1)]
+            get_P, get_PT = (lambda k: P_k[k]), (lambda k: PT_k[k])
+
+        def fc_base(k, s):
+            return ((k * nsl) + s) * 40
 
         # Pass A: per half, per-cell exact bitmask of covered LANES (sums
         # of distinct powers of two below 2^24, 6 groups of 24); winner
         # lane = top set bit (f32 exponent field).
         win_h = []
         for k in (0, 1):
+            rows = []
             for s in range(nsl):
-                covf, _, _, _, _ = eval_slot(k, s, py, values=False,
-                                             clean=clean)
+                if variant == "fcache":
+                    covf, a0, a1, a2, aw = eval_slot(k, s, py, clean=clean)
+                    base = fc_base(k, s)
+                    fc_ref[pl.ds(base, 8), :] = covf
+                    fc_ref[pl.ds(base + 8, 8), :] = a0
+                    fc_ref[pl.ds(base + 16, 8), :] = a1
+                    fc_ref[pl.ds(base + 24, 8), :] = a2
+                    fc_ref[pl.ds(base + 32, 8), :] = aw
+                else:
+                    covf, _, _, _, _ = eval_slot(k, s, py, values=False,
+                                                 clean=clean)
                 bm = covf * pwl
-                for g in range(_NG):
-                    lhs_ref[pl.ds((s * _NG + g) * 8, 8), :] = bm * gmaskf[g]
-            stack = lhs_ref[0:nsl * _NG * 8, :]
-            RA_lo = bit_dot(stack, P_lo_k[k])
-            RA_hi = bit_dot(stack, P_hi_k[k])
+                if variant == "concat_lhs":
+                    rows.extend(bm * gmaskf[g] for g in range(_NG))
+                else:
+                    for g in range(_NG):
+                        lhs_ref[pl.ds((s * _NG + g) * 8, 8), :] = \
+                            bm * gmaskf[g]
+            stack = (jnp.concatenate(rows, axis=0)
+                     if variant == "concat_lhs"
+                     else lhs_ref[0:nsl * _NG * 8, :])
+            P_lo, P_hi = get_P(k)
+            RA_lo = bit_dot(stack, P_lo)
+            RA_hi = bit_dot(stack, P_hi)
             WA = jnp.zeros((_NG * 8, 128), jnp.float32)
             for s in range(nsl):
                 band = slice(s * _NG * 8, (s + 1) * _NG * 8)
@@ -370,29 +415,51 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
         # against PT_hi. Out-of-tile targets read zero-fill (a rel-0
         # false match is harmless: its forward deposit drops in the same
         # band shift).
-        for s in range(nsl):
-            lhs_ref[pl.ds(s * 8, 8), :] = shr(win, Q - s)
-        blo = lhs_ref[0:nsl * 8, :]
-        for s in range(nsl):
-            lhs_ref[pl.ds((nsl + s) * 8, 8), :] = shl(win, 128 - (Q - s))
-        bhi = lhs_ref[nsl * 8:2 * nsl * 8, :]
+        if variant == "concat_lhs":
+            blo = jnp.concatenate([shr(win, Q - s) for s in range(nsl)],
+                                  axis=0)
+            bhi = jnp.concatenate([shl(win, 128 - (Q - s))
+                                   for s in range(nsl)], axis=0)
+        else:
+            for s in range(nsl):
+                lhs_ref[pl.ds(s * 8, 8), :] = shr(win, Q - s)
+            blo = lhs_ref[0:nsl * 8, :]
+            for s in range(nsl):
+                lhs_ref[pl.ds((nsl + s) * 8, 8), :] = shl(win, 128 - (Q - s))
+            bhi = lhs_ref[nsl * 8:2 * nsl * 8, :]
 
         # Pass B: losers zeroed => exactly one contributor per cell, so
         # the HIGHEST one-hot transport is bit-exact.
         WB = jnp.zeros((32, 128), jnp.float32)
         for k in (0, 1):
-            back = bit_dot(blo, PT_lo_k[k]) + bit_dot(bhi, PT_hi_k[k])
+            PT_lo, PT_hi = get_PT(k)
+            back = bit_dot(blo, PT_lo) + bit_dot(bhi, PT_hi)
+            vrows = []
             for s in range(nsl):
-                covf, a0, a1, a2, aw = eval_slot(k, s, py, clean=clean)
+                if variant == "fcache":
+                    base = fc_base(k, s)
+                    covf = fc_ref[pl.ds(base, 8), :]
+                    a0 = fc_ref[pl.ds(base + 8, 8), :]
+                    a1 = fc_ref[pl.ds(base + 16, 8), :]
+                    a2 = fc_ref[pl.ds(base + 24, 8), :]
+                    aw = fc_ref[pl.ds(base + 32, 8), :]
+                else:
+                    covf, a0, a1, a2, aw = eval_slot(k, s, py, clean=clean)
                 backs = back[s * 8:(s + 1) * 8, :]
                 keep = covf * (backs == relf_k[k]).astype(jnp.float32)
-                lhs_ref[pl.ds(s * 32, 8), :] = keep * a0
-                lhs_ref[pl.ds(s * 32 + 8, 8), :] = keep * a1
-                lhs_ref[pl.ds(s * 32 + 16, 8), :] = keep * a2
-                lhs_ref[pl.ds(s * 32 + 24, 8), :] = keep * aw
-            vstack = lhs_ref[0:nsl * 32, :]
-            RC_lo = hi_dot(vstack, P_lo_k[k])
-            RC_hi = hi_dot(vstack, P_hi_k[k])
+                if variant == "concat_lhs":
+                    vrows.extend((keep * a0, keep * a1, keep * a2,
+                                  keep * aw))
+                else:
+                    lhs_ref[pl.ds(s * 32, 8), :] = keep * a0
+                    lhs_ref[pl.ds(s * 32 + 8, 8), :] = keep * a1
+                    lhs_ref[pl.ds(s * 32 + 16, 8), :] = keep * a2
+                    lhs_ref[pl.ds(s * 32 + 24, 8), :] = keep * aw
+            vstack = (jnp.concatenate(vrows, axis=0)
+                      if variant == "concat_lhs" else lhs_ref[0:nsl * 32, :])
+            P_lo, P_hi = get_P(k)
+            RC_lo = hi_dot(vstack, P_lo)
+            RC_hi = hi_dot(vstack, P_hi)
             for s in range(nsl):
                 band = slice(s * 32, (s + 1) * 32)
                 WB = WB + shl(RC_lo[band], Q - s)
@@ -562,9 +629,13 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
         lambda *f: build_vtx_stream(f, n, width, height))(*fields_b)
     stream = stream.reshape(B * n * rb, 128)
 
+    variant = os.environ.get("VF_VTX_VARIANT", "")
+    if variant not in ("", "recompute_p", "fcache", "concat_lhs"):
+        variant = ""
     kernel = functools.partial(
         _vtx_kernel, n=n, ntx=ntx, nty=nty, cells=cells, slots=slots,
-        base_slots=min(base_slots or 4, slots), width=width, height=height)
+        base_slots=min(base_slots or 4, slots), width=width, height=height,
+        variant=variant)
 
     plane = jax.ShapeDtypeStruct((B, ntx * h8, 128), jnp.float32)
     ovf_s = jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)
@@ -587,7 +658,8 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
             # slot-stacked matmul lhs staging (pass A needs slots*_NG*8
             # rows; pass B back/value stacks fit below that)
             pltpu.VMEM((slots * _NG * 8, 128), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((2 * slots * 40, 128), jnp.float32)]  # covf+a0..aw
+             if variant == "fcache" else []),
     )(stream)
 
     def frameview(a):
