@@ -46,6 +46,14 @@ run_variants() {
   timeout 560 python scripts/dev_vtx_variants.py 48 96 64 6 1 || return 1
   timeout 580 python scripts/dev_vtx_variants.py 1024 800 600 4 4 4
 }
+run_rows() {
+  # blank BASELINE.md rows (VERDICT r3 items 4/6), one bounded run each
+  timeout 580 python scripts/dev_baseline_rows.py dem
+  timeout 580 python scripts/dev_baseline_rows.py 4k
+  timeout 580 python scripts/dev_baseline_rows.py sweep
+  timeout 580 python scripts/dev_epilogue_split.py 1024 800 600 4 4
+  timeout 580 python scripts/dev_epilogue_split.py 128 800 600 16 4
+}
 
 case "$PHASE" in
   probe)  run_probe ;;
@@ -55,8 +63,10 @@ case "$PHASE" in
   g128)   run_g128 ;;
   bench)  run_bench ;;
   variants) run_variants ;;
+  rows)   run_rows ;;
   suite)  run_suite ;;
   all)    run_probe && run_parity && run_perf && run_stage \
-            && run_g128 && run_variants && run_bench && run_suite ;;
+            && run_g128 && run_variants && run_rows && run_bench \
+            && run_suite ;;
   *) echo "unknown phase $PHASE"; exit 2 ;;
 esac
