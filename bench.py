@@ -142,16 +142,35 @@ def main() -> int:
             and P._strips_fit(HEIGHT):
         # Dense mesh default (round 3): packed 128 B/tri stream + strip
         # walk, one dispatch per batch, no data-dependent shapes.
+        # VF_PACKED_SPLIT_FS=1: g-buffer and fragment epilogue as two
+        # executables (the mis-fusion experiment knob).
         row_size = 2 * (GRID - 1)
 
-        @jax.jit
-        def run_sum(views, projs):
-            out = P._terrain_render_batch_packed.__wrapped__(
-                xyuv, indices, heights, views, projs, lut, args["h_min"],
-                args["h_max"], args["exposure"], args["sun_dir"],
-                args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
-                row_size, fs_mode="shipped", grid_n=GRID)
-            return jnp.sum(out & 0xFF)
+        if os.environ.get("VF_PACKED_SPLIT_FS") == "1":
+            @jax.jit
+            def fs_sum(v0, v1, v2, mask):
+                out = P._terrain_fs_batch.__wrapped__(
+                    v0, v1, v2, mask, heights, lut, args["h_min"],
+                    args["h_max"], args["exposure"], args["sun_dir"],
+                    args["spacing"], args["exaggeration"],
+                    fs_mode="shipped")
+                return jnp.sum(out & 0xFF)
+
+            def run_sum(views, projs):
+                planes = P._terrain_gbuffer_batch_packed(
+                    xyuv, indices, heights, views, projs, args["spacing"],
+                    args["exaggeration"], WIDTH, HEIGHT, row_size,
+                    fs_mode="shipped", grid_n=GRID)
+                return fs_sum(*planes)
+        else:
+            @jax.jit
+            def run_sum(views, projs):
+                out = P._terrain_render_batch_packed.__wrapped__(
+                    xyuv, indices, heights, views, projs, lut, args["h_min"],
+                    args["h_max"], args["exposure"], args["sun_dir"],
+                    args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
+                    row_size, fs_mode="shipped", grid_n=GRID)
+                return jnp.sum(out & 0xFF)
 
         def run(views, projs):
             # CHECKSUM forcing: a full reduction forces every pixel of

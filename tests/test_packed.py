@@ -315,3 +315,31 @@ def test_hw_fill_rule_shared_edges_single_owner():
             masks[rule] = np.asarray(mask)
         # same union coverage; the rules differ only in shared-edge OWNERSHIP
         np.testing.assert_array_equal(masks["hw"], masks["inclusive"])
+
+
+def test_packed_split_fs_byte_identical():
+    # VF_PACKED_SPLIT_FS=1 runs the fragment epilogue as a second
+    # executable (mis-fusion experiment knob); pixels must not change.
+    import os
+    import numpy as np
+    import vulkan_forge as vf
+    from vulkan_forge._raster import pipeline
+
+    def render():
+        t = vf.TerrainSpike(160, 120, 48)
+        t.set_camera_look_at((3.0, 2.0, 3.0), (0, 0, 0), (0, 1, 0),
+                             45.0, 0.1, 100.0)
+        return t.render_rgba()
+
+    old_thr = pipeline.SEGMENT_THRESHOLD
+    pipeline.SEGMENT_THRESHOLD = 1      # route the 48-grid through packed
+    try:
+        fused = render()
+        os.environ["VF_PACKED_SPLIT_FS"] = "1"
+        try:
+            split = render()
+        finally:
+            os.environ.pop("VF_PACKED_SPLIT_FS", None)
+    finally:
+        pipeline.SEGMENT_THRESHOLD = old_thr
+    np.testing.assert_array_equal(fused, split)

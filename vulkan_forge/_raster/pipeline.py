@@ -260,16 +260,15 @@ def _grid_split_ok(grid_n, indices) -> bool:
 
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "row_size", "fs_mode", "use_pallas", "grid_n"))
-def _terrain_render_batch_packed(xyuv, indices, heights, views, projs, lut,
-                                 h_min, h_max, exposure, sun_dir, spacing,
-                                 exaggeration, width, height, row_size,
-                                 fs_mode="shipped", nspacing=None,
-                                 use_pallas=True, grid_n=None):
-    """Batched packed-stream strip-walk path: B frames in one dispatch, one
-    pallas_call, 128 B/triangle of HBM traffic (4x less than the strips
-    row-record stream), no data-dependent shapes. The round-3 dense-mesh
-    default (docs/NEXT.md levers 1-2). use_pallas=False runs the jnp
-    reference walker over the identical stream (CPU meshes / oracle)."""
+def _terrain_gbuffer_batch_packed(xyuv, indices, heights, views, projs,
+                                  spacing, exaggeration, width, height,
+                                  row_size, fs_mode="shipped",
+                                  use_pallas=True, grid_n=None):
+    """The packed batch path's g-buffer stage alone: B frames ->
+    (v0, v1, v2, mask) planes. Split out so the fragment epilogue can run
+    in its OWN executable (VF_PACKED_SPLIT_FS=1): the single-frame list
+    path measured a 30x slowdown when XLA fuses a gather/transcendental
+    epilogue into the same computation as a pallas call (docs/NEXT.md)."""
     from . import packed
 
     def prep(view, proj):
@@ -285,27 +284,74 @@ def _terrain_render_batch_packed(xyuv, indices, heights, views, projs, lut,
     else:
         eff_row_size, tri_ids, id_stride = row_size, None, 1
     if use_pallas:
-        v0, v1, v2, mask = packed.render_gbuffer_packed_batch(
+        return packed.render_gbuffer_packed_batch(
             cols_b, bbox_b, eff_row_size, width, height,
             tri_ids=tri_ids, id_stride=id_stride)
-    else:
-        v0, v1, v2, mask = jax.vmap(
-            lambda cb, bb: packed.render_gbuffer_packed_ref(
-                cb, bb, eff_row_size, width, height,
-                tri_ids=tri_ids, id_stride=id_stride)
-        )(cols_b, bbox_b)
+    return jax.vmap(
+        lambda cb, bb: packed.render_gbuffer_packed_ref(
+            cb, bb, eff_row_size, width, height,
+            tri_ids=tri_ids, id_stride=id_stride)
+    )(cols_b, bbox_b)
+
+
+@functools.partial(jax.jit, static_argnames=("fs_mode",))
+def _terrain_fs_batch(v0, v1, v2, mask, heights, lut, h_min, h_max,
+                      exposure, sun_dir, nsp, exaggeration,
+                      fs_mode="shipped"):
+    """Batched fragment epilogue over g-buffer planes (split stage 2)."""
     if fs_mode == "shipped":
         h_range = h_max - h_min
         return jax.vmap(
             lambda a, b, c, m: fragment.terrain_fs(a, b, c, m, lut, h_range,
                                                    exposure, sun_dir)
         )(v0, v1, v2, mask)
-    nsp = spacing if nspacing is None else nspacing
     return jax.vmap(
         lambda a, b, c, m: fragment.terrain_fs_extended(
             a, b, c, m, lut, heights, h_min, h_max, exposure, sun_dir,
             nsp, exaggeration)
     )(v0, v1, v2, mask)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "row_size", "fs_mode", "use_pallas", "grid_n"))
+def _terrain_render_batch_packed(xyuv, indices, heights, views, projs, lut,
+                                 h_min, h_max, exposure, sun_dir, spacing,
+                                 exaggeration, width, height, row_size,
+                                 fs_mode="shipped", nspacing=None,
+                                 use_pallas=True, grid_n=None):
+    """Batched packed-stream strip-walk path: B frames in one dispatch, one
+    pallas_call, 128 B/triangle of HBM traffic (4x less than the strips
+    row-record stream), no data-dependent shapes. The round-3 dense-mesh
+    default (docs/NEXT.md levers 1-2). use_pallas=False runs the jnp
+    reference walker over the identical stream (CPU meshes / oracle)."""
+    v0, v1, v2, mask = _terrain_gbuffer_batch_packed.__wrapped__(
+        xyuv, indices, heights, views, projs, spacing, exaggeration,
+        width, height, row_size, fs_mode=fs_mode, use_pallas=use_pallas,
+        grid_n=grid_n)
+    nsp = spacing if nspacing is None else nspacing
+    return _terrain_fs_batch.__wrapped__(
+        v0, v1, v2, mask, heights, lut, h_min, h_max, exposure, sun_dir,
+        nsp, exaggeration, fs_mode=fs_mode)
+
+
+def _terrain_render_batch_packed_split(xyuv, indices, heights, views, projs,
+                                       lut, h_min, h_max, exposure, sun_dir,
+                                       spacing, exaggeration, width, height,
+                                       row_size, fs_mode="shipped",
+                                       nspacing=None, use_pallas=True,
+                                       grid_n=None):
+    """Same result as _terrain_render_batch_packed, as TWO executables:
+    the g-buffer planes materialize to HBM between them, keeping the
+    fragment epilogue out of the pallas call's computation
+    (VF_PACKED_SPLIT_FS=1; byte-identical by construction)."""
+    v0, v1, v2, mask = _terrain_gbuffer_batch_packed(
+        xyuv, indices, heights, views, projs, spacing, exaggeration,
+        width, height, row_size, fs_mode=fs_mode, use_pallas=use_pallas,
+        grid_n=grid_n)
+    nsp = spacing if nspacing is None else nspacing
+    return _terrain_fs_batch(
+        v0, v1, v2, mask, heights, lut, h_min, h_max, exposure, sun_dir,
+        nsp, exaggeration, fs_mode=fs_mode)
 
 
 # ---------------- vertex-stream dense path (round 3c) ----------------
@@ -521,9 +567,14 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
         # Dense meshes, round-3 default: packed 128 B/tri stream emitted
         # straight from setup columns + strip-walk kernel with 32 KB slab
         # DMAs (packed.py). No (T, 40) records, no host roundtrips, no
-        # data-dependent recompiles.
+        # data-dependent recompiles. VF_PACKED_SPLIT_FS=1 runs the
+        # fragment epilogue as a second executable (byte-identical; the
+        # mis-fusion experiment knob -- docs/NEXT.md item 5).
         rs = int(row_size) if row_size else T
-        img_u32 = _terrain_render_batch_packed(
+        entry = (_terrain_render_batch_packed_split
+                 if os.environ.get("VF_PACKED_SPLIT_FS") == "1"
+                 else _terrain_render_batch_packed)
+        img_u32 = entry(
             xyuv, indices, heights, view[None], proj[None], lut, h_min,
             h_max, exposure, sun_dir, spacing, exaggeration, width, height,
             rs, fs_mode=fs_mode, nspacing=nsp, grid_n=grid_n)[0]
