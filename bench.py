@@ -66,9 +66,13 @@ def main() -> int:
     probe_s = float(os.environ.get("VF_BENCH_PROBE_TIMEOUT", "120"))
     if _device.relay_hint_dead():
         probe_s = min(probe_s, 10.0)
-    ok, _val, timed_out = _device._with_deadline(jax.devices, probe_s)
+    ok, val, timed_out = _device._with_deadline(jax.devices, probe_s)
     if timed_out or not ok:
         return _cpu_fallback()
+    try:
+        platform = str(val[0].platform).lower()
+    except Exception:
+        platform = "unknown"
 
     xyuv_np, idx_np = _mesh.build_grid_xyuv(GRID)
     xyuv = jnp.asarray(xyuv_np)
@@ -248,10 +252,13 @@ def main() -> int:
         "unit": "Mpix/s",
         "vs_baseline": round(mpix / baseline_mpix, 4),
     }
-    if os.environ.get("VF_BENCH_REEXEC") == "1":
-        result["device"] = "cpu"
-        result["note"] = ("TPU tunnel dead; forced-CPU fallback at a "
-                          "reduced config")
+    if platform not in ("tpu", "axon"):
+        # Honest labeling: a non-TPU measurement must never read as a
+        # TPU number (e.g. a CPU-forced env, or the dead-tunnel re-exec).
+        result["device"] = platform
+        if os.environ.get("VF_BENCH_REEXEC") == "1":
+            result["note"] = ("TPU tunnel dead; forced-CPU fallback at a "
+                              "reduced config")
         print(json.dumps(result))
         return 0  # perf gate/baseline are TPU-only records
     print(json.dumps(result))
