@@ -109,9 +109,11 @@ def main() -> int:
         cam_sets.append((jnp.asarray(v), jnp.asarray(p)))
 
     run = None
-    dense_mode = os.environ.get("VF_DENSE", "packed")
+    dense_mode = os.environ.get("VF_DENSE", "vtx")
     if use_pallas and T > P.SEGMENT_THRESHOLD and dense_mode == "vtx" \
-            and P._vtx_ok(GRID, indices, WIDTH, HEIGHT):
+            and not P._vtx_ok(GRID, indices, WIDTH, HEIGHT):
+        dense_mode = "packed"  # out of the vtx envelope: packed default
+    if use_pallas and T > P.SEGMENT_THRESHOLD and dense_mode == "vtx":
         # Dense grid meshes: vertex-stream kernel (~16 B/tri of HBM
         # traffic, in-kernel triangle setup, slot-stacked deposit). The
         # per-batch `needed` check enforces the vtx overflow contract: a

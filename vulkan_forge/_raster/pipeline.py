@@ -531,7 +531,7 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     # need the true DEM spacing.
     nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
     T = int(indices.shape[0])
-    dense_mode = os.environ.get("VF_DENSE", "packed")
+    dense_mode = os.environ.get("VF_DENSE", "vtx")
     # Hardware fill-rule mode (VF_FILL_RULE=hw): 8.8 snap + top-left rule
     # (setup.py). Supported on the jnp oracle, the list kernel and the
     # strips kernel; hw records carry bias columns the packed/vtx
@@ -542,24 +542,30 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     if fill_rule == "hw":
         dense_mode = "strips"
 
-    if (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "vtx"
-            and _vtx_ok(grid_n, indices, width, height)):
-        # Dense grid meshes: vertex-stream kernel (~16 B/tri HBM traffic,
-        # in-kernel triangle setup, slot-stacked MXU deposit -- vtx.py).
-        # A frame whose max bbox span exceeds the slots ratchet re-renders
-        # through the byte-identical packed path and bumps the ratchet.
-        slots = _vtx_slots(grid_n, width, height)
-        img_u32, needed = _terrain_render_batch_vtx(
-            xyuv, indices, heights, view[None], proj[None], lut, h_min,
-            h_max, exposure, sun_dir, spacing, exaggeration, width, height,
-            fs_mode=fs_mode, nspacing=nsp, grid_n=grid_n, slots=slots)
-        needed = float(jax.device_get(needed))
-        if needed <= slots:
-            img_u32 = img_u32[0]
-            if as_device:
-                return img_u32
-            return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
-        _vtx_bump(grid_n, width, height, needed)
+    if be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "vtx":
+        if _vtx_ok(grid_n, indices, width, height):
+            # Dense grid meshes, round-4 default (hardware-validated
+            # byte-exact + 90.8 ms/frame at grid=1024 b4 -- BASELINE.md
+            # round 4): vertex-stream kernel (~16 B/tri HBM traffic,
+            # in-kernel triangle setup, slot-stacked MXU deposit, vtx.py).
+            # A frame whose max bbox span exceeds the slots ratchet
+            # re-renders through the byte-identical packed path below and
+            # bumps the ratchet.
+            slots = _vtx_slots(grid_n, width, height)
+            img_u32, needed = _terrain_render_batch_vtx(
+                xyuv, indices, heights, view[None], proj[None], lut, h_min,
+                h_max, exposure, sun_dir, spacing, exaggeration, width,
+                height, fs_mode=fs_mode, nspacing=nsp, grid_n=grid_n,
+                slots=slots)
+            needed = float(jax.device_get(needed))
+            if needed <= slots:
+                img_u32 = img_u32[0]
+                if as_device:
+                    return img_u32
+                return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
+            _vtx_bump(grid_n, width, height, needed)
+        # Non-grid geometry / out-of-envelope sizes / slot overflow:
+        # byte-identical packed stream.
         dense_mode = "packed"
 
     if (be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "packed"
