@@ -109,6 +109,7 @@ def main() -> int:
         cam_sets.append((jnp.asarray(v), jnp.asarray(p)))
 
     run = None
+    bench_path = "list"
     dense_mode = os.environ.get("VF_DENSE", "vtx")
     if use_pallas and T > P.SEGMENT_THRESHOLD and dense_mode == "vtx" \
             and not P._vtx_ok(GRID, indices, WIDTH, HEIGHT):
@@ -122,26 +123,40 @@ def main() -> int:
                         int(os.environ.get("VF_BENCH_VTX_SLOTS", "8"))),
                     128)  # two-window placement limit (vtx.py)
 
-        def run(views, projs):
-            imgs, needed = P._terrain_render_batch_vtx(
-                xyuv, indices, heights, views, projs, lut, args["h_min"],
-                args["h_max"], args["exposure"], args["sun_dir"],
-                args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
-                fs_mode="shipped", grid_n=GRID, slots=slots)
-            sample, need = jax.device_get((jnp.sum(imgs & 0xFF), needed))
-            if float(need) > slots:
-                raise OverflowError(f"vtx span overflow: {need} > {slots}")
-            return sample
+        def make_run(slots):
+            def run(views, projs):
+                imgs, needed = P._terrain_render_batch_vtx(
+                    xyuv, indices, heights, views, projs, lut, args["h_min"],
+                    args["h_max"], args["exposure"], args["sun_dir"],
+                    args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
+                    fs_mode="shipped", grid_n=GRID, slots=slots)
+                sample, need = jax.device_get((jnp.sum(imgs & 0xFF), needed))
+                if float(need) > slots:
+                    raise OverflowError(int(math.ceil(float(need))))
+                return sample
+            return run
 
-        try:
-            # Compile + validate the overflow contract on EVERY camera set
-            # the timed loop will see: a mid-benchmark OverflowError would
-            # crash without printing the one JSON line.
-            for cs in cam_sets:
-                run(*cs)
-        except OverflowError:
-            run = None
-            dense_mode = "packed"
+        # Compile + validate the overflow contract on EVERY camera set the
+        # timed loop will see (a mid-benchmark OverflowError would crash
+        # without printing the one JSON line). One overflow retries at the
+        # observed demand -- the bench orbits are deterministic, so the
+        # second pass either fits or the config is out of the vtx envelope
+        # and the packed path below takes over.
+        for attempt in range(2):
+            run = make_run(slots)
+            try:
+                for cs in cam_sets:
+                    run(*cs)
+                break
+            except OverflowError as e:
+                need = int(e.args[0])
+                if attempt == 1 or need > 128:
+                    run = None
+                    dense_mode = "packed"
+                    break
+                slots = need
+        if run is not None:
+            bench_path = f"vtx:slots={slots}"
 
     if run is None and use_pallas and T > P.SEGMENT_THRESHOLD \
             and dense_mode == "packed" \
@@ -178,6 +193,10 @@ def main() -> int:
                     row_size, fs_mode="shipped", grid_n=GRID)
                 return jnp.sum(out & 0xFF)
 
+        bench_path = ("packed:split_fs"
+                      if os.environ.get("VF_PACKED_SPLIT_FS") == "1"
+                      else "packed")
+
         def run(views, projs):
             # CHECKSUM forcing: a full reduction forces every pixel of
             # every frame (slicing would let XLA prune the fragment
@@ -201,6 +220,8 @@ def main() -> int:
                 args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
                 row_size, fs_mode="shipped")
             return jnp.sum(out & 0xFF)
+
+        bench_path = "strips"
 
         def run(views, projs):
             # checksum forcing (see packed path note above)
@@ -253,6 +274,9 @@ def main() -> int:
         "value": round(mpix, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix / baseline_mpix, 4),
+        # Which raster path actually measured (the vtx->packed fallback
+        # made two very different kernels report identical-looking lines).
+        "path": bench_path,
     }
     if platform not in ("tpu", "axon"):
         # Honest labeling: a non-TPU measurement must never read as a
