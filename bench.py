@@ -11,8 +11,19 @@ upstream in this environment; see CLAUDE.md).
 Baseline: the reference's own budget for a 1024^2 DEM render is <= 50 ms
 (ROADMAP.md:280) ~= 21 Mpix/s. vs_baseline is measured Mpix/s / 21.
 
+AGGREGATION RULE (pinned so BENCH_rN lines are comparable across rounds,
+mirroring the reference perf_sanity.py:38-71 stats-dict pattern): the
+headline `value` is the MEDIAN of VF_BENCH_REPS (default 5) per-rep
+timings; the record also carries best/mean/reps in `ms_per_batch` so
+tunnel-session drift (observed: 112->142 ms monotonic within a session)
+is visible rather than folded into the headline. Every timed rep uses a
+DISTINCT camera set never dispatched before it (repeat dispatches are
+memoized upstream); overflow validation happens on the warm set only,
+and a mid-timing vtx slot overflow discards the run and re-measures with
+fresh cameras at the observed demand (then the packed path).
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N, ...}
 """
 from __future__ import annotations
 
@@ -34,7 +45,7 @@ GRID = int(os.environ.get("VF_BENCH_GRID", "1024"))
 # Dense meshes: B=4 keeps the per-frame record streams inside HBM
 # (B x ~1.3 GB at grid=1024); the list path batches 8.
 BATCH = int(os.environ.get("VF_BENCH_BATCH", "4" if GRID >= 512 else "8"))
-REPS = int(os.environ.get("VF_BENCH_REPS", "4"))
+REPS = int(os.environ.get("VF_BENCH_REPS", "5"))
 
 
 def orbit_cameras(n: int, phase: float = 0.0):
@@ -100,68 +111,51 @@ def main() -> int:
 
     use_pallas = P.backend_name() == "pallas"
     T = int(indices.shape[0])
+    dense = use_pallas and T > P.SEGMENT_THRESHOLD
 
-    # One distinct camera set per rep: repeated identical dispatches are
-    # memoized upstream and would inflate the number.
-    cam_sets = []
-    for rep in range(REPS + 1):
-        v, p = orbit_cameras(BATCH, phase=0.31 * rep)
-        cam_sets.append((jnp.asarray(v), jnp.asarray(p)))
+    def build_cam_sets(phase_base):
+        # One distinct camera set per rep (repeat dispatches are memoized
+        # upstream and would inflate the number); index REPS (the last)
+        # is the warm/compile set, never timed.
+        sets = []
+        for rep in range(REPS + 1):
+            v, p = orbit_cameras(BATCH, phase=phase_base + 0.31 * rep)
+            sets.append((jnp.asarray(v), jnp.asarray(p)))
+        return sets
 
-    run = None
-    bench_path = "list"
     dense_mode = os.environ.get("VF_DENSE", "vtx")
-    if use_pallas and T > P.SEGMENT_THRESHOLD and dense_mode == "vtx" \
+    if dense and dense_mode == "vtx" \
             and not P._vtx_ok(GRID, indices, WIDTH, HEIGHT):
         dense_mode = "packed"  # out of the vtx envelope: packed default
-    if use_pallas and T > P.SEGMENT_THRESHOLD and dense_mode == "vtx":
-        # Dense grid meshes: vertex-stream kernel (~16 B/tri of HBM
-        # traffic, in-kernel triangle setup, slot-stacked deposit). The
-        # per-batch `needed` check enforces the vtx overflow contract: a
-        # span overflow falls back to the packed path below.
-        slots = min(max(P._vtx_slots(GRID, WIDTH, HEIGHT),
+    if not dense:
+        dense_mode = "list"
+    elif dense_mode != "vtx" and not P._strips_fit(HEIGHT):
+        dense_mode = "list"  # packed/strips need the strip walk to fit
+
+    vtx_slots = min(max(P._vtx_slots(GRID, WIDTH, HEIGHT),
                         int(os.environ.get("VF_BENCH_VTX_SLOTS", "8"))),
                     128)  # two-window placement limit (vtx.py)
 
-        def make_run(slots):
-            def run(views, projs):
-                imgs, needed = P._terrain_render_batch_vtx(
-                    xyuv, indices, heights, views, projs, lut, args["h_min"],
-                    args["h_max"], args["exposure"], args["sun_dir"],
-                    args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
-                    fs_mode="shipped", grid_n=GRID, slots=slots)
-                sample, need = jax.device_get((jnp.sum(imgs & 0xFF), needed))
-                if float(need) > slots:
-                    raise OverflowError(int(math.ceil(float(need))))
-                return sample
-            return run
+    def build_vtx_run(slots):
+        # Dense grid meshes: vertex-stream kernel (~16 B/tri of HBM
+        # traffic, in-kernel triangle setup, slot-stacked deposit). The
+        # per-batch `needed` check enforces the vtx overflow contract: a
+        # span overflow raises and the measurement loop below discards
+        # the run and falls back (fresh cameras, packed path).
+        def run(views, projs):
+            imgs, needed = P._terrain_render_batch_vtx(
+                xyuv, indices, heights, views, projs, lut, args["h_min"],
+                args["h_max"], args["exposure"], args["sun_dir"],
+                args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
+                fs_mode="shipped", grid_n=GRID, slots=slots)
+            sample, need = jax.device_get((jnp.sum(imgs & 0xFF), needed))
+            if float(need) > slots:
+                raise OverflowError(int(math.ceil(float(need))))
+            return sample
+        return run
 
-        # Compile + validate the overflow contract on EVERY camera set the
-        # timed loop will see (a mid-benchmark OverflowError would crash
-        # without printing the one JSON line). One overflow retries at the
-        # observed demand -- the bench orbits are deterministic, so the
-        # second pass either fits or the config is out of the vtx envelope
-        # and the packed path below takes over.
-        for attempt in range(2):
-            run = make_run(slots)
-            try:
-                for cs in cam_sets:
-                    run(*cs)
-                break
-            except OverflowError as e:
-                need = int(e.args[0])
-                if attempt == 1 or need > 128:
-                    run = None
-                    dense_mode = "packed"
-                    break
-                slots = need
-        if run is not None:
-            bench_path = f"vtx:slots={slots}"
-
-    if run is None and use_pallas and T > P.SEGMENT_THRESHOLD \
-            and dense_mode == "packed" \
-            and P._strips_fit(HEIGHT):
-        # Dense mesh default (round 3): packed 128 B/tri stream + strip
+    def build_packed_run():
+        # Dense mesh packed path (round 3): 128 B/tri stream + strip
         # walk, one dispatch per batch, no data-dependent shapes.
         # VF_PACKED_SPLIT_FS=1: g-buffer and fragment epilogue as two
         # executables (the mis-fusion experiment knob).
@@ -193,9 +187,9 @@ def main() -> int:
                     row_size, fs_mode="shipped", grid_n=GRID)
                 return jnp.sum(out & 0xFF)
 
-        bench_path = ("packed:split_fs"
-                      if os.environ.get("VF_PACKED_SPLIT_FS") == "1"
-                      else "packed")
+        path = ("packed:split_fs"
+                if os.environ.get("VF_PACKED_SPLIT_FS") == "1"
+                else "packed")
 
         def run(views, projs):
             # CHECKSUM forcing: a full reduction forces every pixel of
@@ -206,9 +200,9 @@ def main() -> int:
             # artifact that local-HBM readback does not have.
             # device_get, NOT block_until_ready (CLAUDE.md trap 2).
             return jax.device_get(run_sum(views, projs))
+        return run, path
 
-    if run is None and use_pallas and T > P.SEGMENT_THRESHOLD \
-            and P._strips_fit(HEIGHT):
+    def build_strips_run():
         # Dense-mesh fallback: batched strip-walk path.
         row_size = 2 * (GRID - 1)
 
@@ -221,18 +215,18 @@ def main() -> int:
                 row_size, fs_mode="shipped")
             return jnp.sum(out & 0xFF)
 
-        bench_path = "strips"
-
         def run(views, projs):
             # checksum forcing (see packed path note above)
             return jax.device_get(run_sum_strips(views, projs))
-    elif run is None:
+        return run
+
+    def build_list_run(cam_sets):
         # Moderate meshes: ALL frames of a batch inside ONE jit -> one
         # dispatch (measured 3.1x over per-frame dispatch at grid=128:
         # 18.3 vs 57.5 ms/frame -- the fixed per-dispatch overhead
         # dominates small scenes). Frames stay sequential inside the
         # executable (a vmapped batch lowers the scatter binning poorly);
-        # capacities sized once over all camera sets.
+        # capacities sized once with 2x headroom across camera sets.
         views0, projs0 = cam_sets[0]
         cmax, sx, sy = jax.device_get(P._terrain_batch_counts(
             xyuv, indices, heights, views0, projs0, args["spacing"],
@@ -259,12 +253,54 @@ def main() -> int:
         def run(views, projs):
             # checksum forcing (see packed path note above)
             return jax.device_get(jnp.sum(batch_frames(views, projs) & 0xFF))
+        return run
 
-    run(*cam_sets[-1])  # compile
-    t0 = time.perf_counter()
-    for rep in range(REPS):
-        run(*cam_sets[rep])
-    dt = (time.perf_counter() - t0) / REPS
+    def build_run(mode, cam_sets):
+        if mode == "vtx":
+            return build_vtx_run(vtx_slots), f"vtx:slots={vtx_slots}"
+        if mode == "packed":
+            return build_packed_run()
+        if mode != "list":
+            return build_strips_run(), "strips"
+        return build_list_run(cam_sets), "list"
+
+    # Measurement loop. The warm set (never timed) both compiles and
+    # validates the vtx overflow contract; the timed sets are dispatched
+    # exactly once each, inside the timed region (pre-dispatching them for
+    # validation would make every timed rep a memoized repeat -- the trap
+    # this file's own header warns about). A vtx slot overflow mid-timing
+    # discards the attempt and re-measures on FRESH cameras at the
+    # observed demand, then falls to the packed path.
+    times = None
+    phase_base = 0.0
+    for attempt in range(3):
+        cam_sets = build_cam_sets(phase_base)
+        run, bench_path = build_run(dense_mode, cam_sets)
+        try:
+            run(*cam_sets[-1])  # compile + warm (+ overflow validation)
+            times = []
+            for rep in range(REPS):
+                t1 = time.perf_counter()
+                run(*cam_sets[rep])
+                times.append(time.perf_counter() - t1)
+            break
+        except OverflowError as e:
+            need = int(e.args[0])
+            if dense_mode == "vtx" and attempt == 0 and need <= 128:
+                vtx_slots = need
+            else:
+                dense_mode = ("packed" if P._strips_fit(HEIGHT) else "list")
+            phase_base += 7.7  # fresh cameras: no rep repeats a dispatch
+            times = None
+    if times is None:
+        raise RuntimeError("bench: overflow fallback failed to converge")
+
+    # Headline = MEDIAN of per-rep timings (pinned aggregation rule; see
+    # the module docstring). best/mean/reps ride along for drift checks.
+    times_sorted = sorted(times)
+    n = len(times_sorted)
+    dt = (times_sorted[n // 2] if n % 2
+          else 0.5 * (times_sorted[n // 2 - 1] + times_sorted[n // 2]))
 
     mpix = (WIDTH * HEIGHT * BATCH) / dt / 1e6
     baseline_mpix = 21.0  # reference budget: 1024^2 in 50 ms
@@ -277,6 +313,12 @@ def main() -> int:
         # Which raster path actually measured (the vtx->packed fallback
         # made two very different kernels report identical-looking lines).
         "path": bench_path,
+        "ms_per_batch": {
+            "median": round(dt * 1e3, 1),
+            "best": round(times_sorted[0] * 1e3, 1),
+            "mean": round(sum(times) / n * 1e3, 1),
+            "reps": n,
+        },
     }
     if platform not in ("tpu", "axon"):
         # Honest labeling: a non-TPU measurement must never read as a

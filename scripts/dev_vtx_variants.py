@@ -105,7 +105,11 @@ def main():
         print(f"[{v or 'shipped'}] first run (incl compile): {dt0:.1f}s "
               f"needed={float(got[4])}")
         if REPS:
-            jax.device_get(fn(rep_fields[0]))   # warm the rep shapes
+            # No warm call: fn is already compiled from the fields_b run
+            # above (rep fields share its shapes), and warming with
+            # rep_fields[0] would make the first timed rep a repeat
+            # dispatch of identical inputs -- memoized upstream, so a
+            # bogus ~0 ms would become the best-of headline.
             times = []
             for fb in rep_fields:
                 t0 = time.perf_counter()
@@ -123,7 +127,9 @@ def main():
               "VARIANTS OK (timed only, no shipped reference in subset)")
         return 1 if bad else 0
     ok = ref is not None
-    for v in VARIANTS[1:]:
+    for v in VARIANTS:
+        if v == "":
+            continue
         got = results[v]
         if got is None or ref is None:
             print(f"[{v}] skipped identity (variant or shipped failed)")
