@@ -393,6 +393,19 @@ def _vtx_ok(grid_n, indices, width: int, height: int) -> bool:
     return ntx * h8 * 128 * 4 * 5 < 12 * 2**20
 
 
+def _vtx_fuse_ok(width: int, height: int) -> bool:
+    """Fused-FS eligibility: the fused kernel holds SIX full-frame planes
+    in scoped VMEM (five f32 accumulator scratch + the u32 image output)
+    vs the g-buffer kernel's five; gate it a little under the 16 MB
+    scoped-VMEM limit, leaving room for the ring/cols/lhs scratch.
+    VF_VTX_FUSE_FS=0 is the split-path measurement knob."""
+    if os.environ.get("VF_VTX_FUSE_FS", "1") == "0":
+        return False
+    ntx = -(-width // 128)
+    h8 = -(-height // TILE_H) * TILE_H
+    return ntx * h8 * 128 * 4 * 6 < 14 * 2**20
+
+
 @functools.partial(jax.jit, static_argnames=(
     "width", "height", "fs_mode", "grid_n", "slots"))
 def _terrain_render_batch_vtx(xyuv, indices, heights, views, projs, lut,
@@ -428,6 +441,17 @@ def _terrain_render_batch_vtx(xyuv, indices, heights, views, projs, lut,
     # chunk-rows. Moderate grids span many pixels uniformly -- gating on
     # span would spill everything, so only the clip-clean gate applies.
     base = 4 if grid_n >= 512 else slots
+    if fs_mode == "shipped" and _vtx_fuse_ok(width, height):
+        # Fused resolve: the shipped FS runs IN-KERNEL on the
+        # VMEM-resident planes (bit-identical to the split path by
+        # construction, fragment.terrain_fs_tile) -- no g-buffer
+        # materialization, no XLA epilogue (~17 ms/frame at 800x600,
+        # BASELINE.md round 4). VF_VTX_FUSE_FS=0 forces the split path
+        # (measurement knob).
+        h_range = h_max - h_min
+        return vtx.render_image_vtx_batch(
+            fields_b, lut, h_range, exposure, sun_dir, grid_n, width,
+            height, slots=slots, base_slots=base)
     (v0, v1, v2, mask), needed = vtx.render_gbuffer_vtx_batch(
         fields_b, grid_n, width, height, slots=slots, base_slots=base)
     if fs_mode == "shipped":

@@ -182,27 +182,32 @@ def build_vtx_stream(fields, n: int, width: int, height: int):
     return stream.reshape(n * (nch + 1) * 8, 128)
 
 
-def _vtx_kernel(vs_ref,                              # HBM vertex stream
+def _vtx_raster(vs_ref,                              # HBM vertex stream
                 v0_ref, v1_ref, v2_ref, mask_ref, aw_ref, ovf_ref,
-                vring, sem, cols_ref, lhs_ref, *scratch,
+                vring, sem, cols_ref, lhs_ref, fc_ref,
                 n, ntx, nty, cells, slots, base_slots, width, height,
                 variant=""):
-    # variant: measured-experiment trip-body alternatives (docs/NEXT.md
-    # round-3d queue; all byte-identical math in identical order):
-    #   ""            -- shipped: P/PT placement matrices built once per
-    #                    trip and held live across both passes.
-    #   "recompute_p" -- rebuild P/PT at each use site (pass A needs 2,
-    #                    pass B 4): 8 held (128,128) f32 tiles = 128 live
-    #                    vregs is the register-spill suspect behind the
-    #                    ~5-10x per-slot-unit cost gap.
-    #   "fcache"      -- pass A computes AND caches covf/a0/a1/a2/aw per
-    #                    (half, slot) in a VMEM scratch; pass B loads
-    #                    instead of re-evaluating (~35 ops -> 10 ld/st).
-    #   "concat_lhs"  -- build the stacked MXU LHS operands as
-    #                    jnp.concatenate VALUES instead of staging through
-    #                    lhs_ref (tests whether Mosaic feeds the MXU from
-    #                    vregs and skips the store/load roundtrip).
-    fc_ref = scratch[0] if variant == "fcache" else None
+    """Raster core shared by the g-buffer and fused-FS kernels: inits the
+    five accumulator planes (pallas outputs OR scratch -- both index as
+    (1, ntx*h8, 128)), walks every cell row, and leaves raw pre-divide
+    accumulators behind. The caller kernel finalizes.
+
+    variant: measured-experiment trip-body alternatives (docs/NEXT.md
+    round-3d queue; all byte-identical math in identical order,
+    hardware-measured round 5 as perf-equivalent too -- kept for the
+    record and as lowering probes):
+      ""            -- shipped: P/PT placement matrices built once per
+                       trip and held live across both passes.
+      "recompute_p" -- rebuild P/PT at each use site (pass A needs 2,
+                       pass B 4): tests the register-spill hypothesis.
+      "fcache"      -- pass A computes AND caches covf/a0/a1/a2/aw per
+                       (half, slot) in a VMEM scratch; pass B loads
+                       instead of re-evaluating (~35 ops -> 10 ld/st).
+      "concat_lhs"  -- build the stacked MXU LHS operands as
+                       jnp.concatenate VALUES instead of staging through
+                       lhs_ref (tests whether Mosaic feeds the MXU from
+                       vregs and skips the store/load roundtrip).
+    """
     b = pl.program_id(0)
     nch = _nch(n)
     h8 = nty * 8
@@ -581,7 +586,22 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
 
     jax.lax.fori_loop(0, n - 1, row_body, 0)
 
+
+def _vtx_kernel(vs_ref,                              # HBM vertex stream
+                v0_ref, v1_ref, v2_ref, mask_ref, aw_ref, ovf_ref,
+                vring, sem, cols_ref, lhs_ref, *scratch,
+                n, ntx, nty, cells, slots, base_slots, width, height,
+                variant=""):
+    """G-buffer kernel: raster core + perspective-divide finalize; the
+    five planes are the pallas outputs (fragment epilogue runs in XLA)."""
+    fc_ref = scratch[0] if variant == "fcache" else None
+    _vtx_raster(vs_ref, v0_ref, v1_ref, v2_ref, mask_ref, aw_ref, ovf_ref,
+                vring, sem, cols_ref, lhs_ref, fc_ref,
+                n, ntx, nty, cells, slots, base_slots, width, height,
+                variant=variant)
+
     # finalize: perspective divide + coverage mask, per column strip
+    h8 = nty * 8
     for cs in range(ntx):
         sl = slice(cs * h8, (cs + 1) * h8)
         aid = mask_ref[0, sl, :]
@@ -591,6 +611,49 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
         v1_ref[0, sl, :] = v1_ref[0, sl, :] * rcp
         v2_ref[0, sl, :] = v2_ref[0, sl, :] * rcp
         mask_ref[0, sl, :] = (aid >= 0.0).astype(jnp.float32)
+
+
+def _vtx_kernel_fused(vs_ref, lutp_ref, par_ref,     # inputs
+                      img_ref, ovf_ref,              # outputs
+                      v0_ref, v1_ref, v2_ref, mask_ref, aw_ref,  # scratch
+                      vring, sem, cols_ref, lhs_ref, *scratch,
+                      n, ntx, nty, cells, slots, base_slots, width, height,
+                      variant=""):
+    """Fused kernel: raster core + the SHIPPED fragment epilogue at resolve
+    time. The five accumulator planes are VMEM scratch (never touch HBM);
+    the only image output is the packed-u32 framebuffer -- this removes
+    both the 5-plane g-buffer materialization and the separate XLA FS pass
+    (~17 ms/frame at 800x600, BASELINE.md round 4). Bit-identical to
+    gbuffer + fragment.terrain_fs by construction: the finalize runs the
+    exact divide the g-buffer finalize runs, then fragment.terrain_fs_tile
+    (see its docstring for the Mosaic/XLA bit-exactness evidence)."""
+    fc_ref = scratch[0] if variant == "fcache" else None
+    _vtx_raster(vs_ref, v0_ref, v1_ref, v2_ref, mask_ref, aw_ref, ovf_ref,
+                vring, sem, cols_ref, lhs_ref, fc_ref,
+                n, ntx, nty, cells, slots, base_slots, width, height,
+                variant=variant)
+
+    from .fragment import terrain_fs_tile
+
+    lutv = lutp_ref[...]
+    par = par_ref[...]
+    hr2 = par[0, 0]
+    expo = par[0, 1]
+    l0, l1, l2 = par[0, 2], par[0, 3], par[0, 4]
+    # ONE full-plane FS call, not one per column strip: the FS is
+    # pointwise (strip layout irrelevant) and its unrolled 256-step LUT
+    # select chain dominates the Mosaic IR -- per-strip copies multiply
+    # compile time by ntx (the grid=1024 fused compile only fits the
+    # tunnel's window with the single-copy form).
+    aid = mask_ref[0, :, :]
+    aw = aw_ref[0, :, :]
+    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+    hh = v0_ref[0, :, :] * rcp
+    xx = v1_ref[0, :, :] * rcp
+    zz = v2_ref[0, :, :] * rcp
+    cov = aid >= 0.0
+    img_ref[0, :, :] = terrain_fs_tile(hh, xx, zz, cov, lutv, hr2,
+                                       expo, l0, l1, l2)
 
 
 def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
@@ -607,6 +670,38 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
     triangle spans 1-3 px); pass base_slots=slots for moderate grids
     whose spans are uniformly large -- the clip-clean gate still applies.
     """
+    stream, kernel_kw, scratch, B, geo = _vtx_prep(
+        fields_b, grid_n, width, height, slots, base_slots)
+    ntx, nty, h8, rb = geo
+
+    plane = jax.ShapeDtypeStruct((B, ntx * h8, 128), jnp.float32)
+    ovf_s = jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)
+    plane_spec = pl.BlockSpec((1, ntx * h8, 128), lambda p: (p, 0, 0),
+                              memory_space=pltpu.VMEM)
+    ovf_spec = pl.BlockSpec((1, 8, 128), lambda p: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    v0, v1, v2, mask, _aw, ovf = pl.pallas_call(
+        functools.partial(_vtx_kernel, **kernel_kw),
+        interpret=os.environ.get("VF_VTX_INTERPRET") == "1",
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(plane_spec,) * 5 + (ovf_spec,),
+        out_shape=(plane,) * 5 + (ovf_s,),
+        scratch_shapes=scratch,
+    )(stream)
+
+    def frameview(a):
+        a = a.reshape(B, ntx, h8, 128).transpose(0, 2, 1, 3)
+        return a.reshape(B, h8, ntx * 128)[:, :height, :width]
+
+    needed = jnp.max(ovf)
+    return (frameview(v0), frameview(v1), frameview(v2),
+            frameview(mask) > 0.5), needed
+
+
+def _vtx_prep(fields_b, grid_n, width, height, slots, base_slots):
+    """Shared stream assembly + kernel config for both vtx entries."""
     n = grid_n
     cells = n - 1
     nch = _nch(n)
@@ -632,40 +727,72 @@ def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
     variant = os.environ.get("VF_VTX_VARIANT", "")
     if variant not in ("", "recompute_p", "fcache", "concat_lhs"):
         variant = ""
-    kernel = functools.partial(
-        _vtx_kernel, n=n, ntx=ntx, nty=nty, cells=cells, slots=slots,
+    kernel_kw = dict(
+        n=n, ntx=ntx, nty=nty, cells=cells, slots=slots,
         base_slots=min(base_slots or 4, slots), width=width, height=height,
         variant=variant)
+    scratch = [
+        pltpu.VMEM((3, rb, 128), jnp.float32),        # vertex-row ring
+        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.VMEM((64, 128), jnp.float32),           # both halves' cols
+        # slot-stacked matmul lhs staging (pass A needs slots*_NG*8
+        # rows; pass B back/value stacks fit below that)
+        pltpu.VMEM((slots * _NG * 8, 128), jnp.float32),
+    ] + ([pltpu.VMEM((2 * slots * 40, 128), jnp.float32)]  # covf+a0..aw
+         if variant == "fcache" else [])
+    return stream, kernel_kw, scratch, B, (ntx, nty, h8, rb)
 
-    plane = jax.ShapeDtypeStruct((B, ntx * h8, 128), jnp.float32)
+
+def render_image_vtx_batch(fields_b, lut, h_range, exposure, sun_dir,
+                           grid_n: int, width: int, height: int,
+                           slots: int = 4, base_slots: "int | None" = None):
+    """B frames through the FUSED vertex-stream kernel: rasterize AND run
+    the shipped fragment epilogue at resolve time, returning packed-u32
+    framebuffers directly (no g-buffer materialization, no XLA FS pass).
+
+    Returns (imgs (B, H, W) uint32, needed). Bit-identical to
+    render_gbuffer_vtx_batch + fragment.terrain_fs: the scalar prep below
+    (h_range floor, sun normalization) runs in XLA with terrain_fs's exact
+    ops, and the in-kernel tile FS is bit-exact per
+    fragment.terrain_fs_tile. Same overflow contract as the g-buffer
+    entry. Match: terrain.wgsl:68-91 runs as one fused GPU stage; this is
+    that stage, the TPU way.
+    """
+    stream, kernel_kw, scratch, B, geo = _vtx_prep(
+        fields_b, grid_n, width, height, slots, base_slots)
+    ntx, nty, h8, rb = geo
+
+    # Scalar prep with terrain_fs's exact ops (fragment.py:50,59).
+    hr2 = 2.0 * jnp.maximum(h_range, 1e-8)
+    sun = jnp.asarray(sun_dir, jnp.float32)
+    l = sun / jnp.sqrt(jnp.sum(sun * sun))
+    par = jnp.zeros((8, 128), jnp.float32)
+    par = par.at[0, 0].set(hr2).at[0, 1].set(exposure)
+    par = par.at[0, 2:5].set(l)
+    from .fragment import pack_lut_tile
+    lutp = pack_lut_tile(jnp.asarray(lut, jnp.float32))
+
+    img_s = jax.ShapeDtypeStruct((B, ntx * h8, 128), jnp.int32)
     ovf_s = jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)
-    plane_spec = pl.BlockSpec((1, ntx * h8, 128), lambda p: (p, 0, 0),
-                              memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec((1, ntx * h8, 128), lambda p: (p, 0, 0),
+                            memory_space=pltpu.VMEM)
     ovf_spec = pl.BlockSpec((1, 8, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((8, 128), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM)
 
-    v0, v1, v2, mask, _aw, ovf = pl.pallas_call(
-        kernel,
+    img, ovf = pl.pallas_call(
+        functools.partial(_vtx_kernel_fused, **kernel_kw),
         interpret=os.environ.get("VF_VTX_INTERPRET") == "1",
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=(plane_spec,) * 5 + (ovf_spec,),
-        out_shape=(plane,) * 5 + (ovf_s,),
-        scratch_shapes=[
-            pltpu.VMEM((3, rb, 128), jnp.float32),    # vertex-row ring
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.VMEM((64, 128), jnp.float32),       # both halves' cols
-            # slot-stacked matmul lhs staging (pass A needs slots*_NG*8
-            # rows; pass B back/value stacks fit below that)
-            pltpu.VMEM((slots * _NG * 8, 128), jnp.float32),
-        ] + ([pltpu.VMEM((2 * slots * 40, 128), jnp.float32)]  # covf+a0..aw
-             if variant == "fcache" else []),
-    )(stream)
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM), small, small],
+        out_specs=(img_spec, ovf_spec),
+        out_shape=(img_s, ovf_s),
+        scratch_shapes=[pltpu.VMEM((1, ntx * h8, 128), jnp.float32)] * 5
+        + scratch,
+    )(stream, lutp, par)
 
-    def frameview(a):
-        a = a.reshape(B, ntx, h8, 128).transpose(0, 2, 1, 3)
-        return a.reshape(B, h8, ntx * 128)[:, :height, :width]
-
-    needed = jnp.max(ovf)
-    return (frameview(v0), frameview(v1), frameview(v2),
-            frameview(mask) > 0.5), needed
+    img = jax.lax.bitcast_convert_type(img, jnp.uint32)
+    img = img.reshape(B, ntx, h8, 128).transpose(0, 2, 1, 3)
+    img = img.reshape(B, h8, ntx * 128)[:, :height, :width]
+    return img, jnp.max(ovf)
