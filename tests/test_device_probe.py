@@ -39,6 +39,33 @@ def test_probe_times_out_instead_of_hanging(monkeypatch):
     assert took < 10.0
 
 
+def test_adapter_dicts_carry_real_capabilities():
+    # VERDICT r4 item 7: features/limits must be real device info, not
+    # placeholders (parity: src/lib.rs:755-776 dumps the actual wgpu
+    # feature set and limits).
+    adapters = _device.enumerate_adapters()
+    assert adapters, "at least one JAX device is always visible"
+    for a in adapters:
+        assert a["name"] and a["name"] != "unknown"
+        assert "platform=" in a["features"]
+        assert "kind=" in a["features"]
+        assert "process_index=" in a["features"]
+        assert "max_framebuffer_dim=8192" in a["limits"]
+        assert "memory_stats=" not in a["limits"]  # the old placeholder
+        if a["device_type"] == "Tpu":
+            assert a["vendor_id"] == 0x1AE0
+    # When the backing device exposes memory_stats, its byte budgets must
+    # surface in limits (the analog of the reference's real limit dump).
+    import jax
+    for d, a in zip(jax.devices(), adapters):
+        try:
+            ms = d.memory_stats() or {}
+        except Exception:
+            ms = {}
+        if "bytes_limit" in ms:
+            assert f"bytes_limit={int(ms['bytes_limit'])}" in a["limits"]
+
+
 def test_enumerate_adapters_times_out_empty(monkeypatch):
     import jax
     monkeypatch.setattr(_device, "_PROBE_TIMEOUT_S", 2.0)

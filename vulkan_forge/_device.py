@@ -81,16 +81,61 @@ def _with_deadline(fn: Callable[[], Any], timeout_s: float):
 
 
 def _device_dict(d) -> Dict[str, Any]:
+    """Adapter dict with REAL device capabilities (parity:
+    src/lib.rs:755-776, which dumps the wgpu adapter's actual feature set
+    and limits). The JAX analogs: topology/core attributes and the
+    runtime's platform version as *features*; memory_stats byte budgets
+    and the validators' framebuffer guardrail as *limits*. Every probe is
+    defensive -- enumerate_adapters must never raise."""
     kind = getattr(d, "device_kind", "unknown")
     platform = getattr(d, "platform", "unknown")
+    is_tpu = "tpu" in str(platform).lower() or "axon" in str(platform).lower()
+
+    feats = [f"platform={platform}", f"kind={kind}"]
+    for attr in ("process_index", "coords", "core_on_chip",
+                 "num_cores", "slice_index"):
+        try:
+            v = getattr(d, attr, None)
+        except Exception:
+            v = None
+        if v is not None:
+            feats.append(f"{attr}={v}")
+    try:
+        pv = d.client.platform_version
+        if pv:
+            feats.append(f"platform_version={pv}")
+    except Exception:
+        pass
+    try:
+        mems = ",".join(m.kind for m in d.addressable_memories())
+        if mems:
+            feats.append(f"memory_spaces={mems}")
+    except Exception:
+        pass
+
+    limits = []
+    try:
+        ms = d.memory_stats() or {}
+        for k in ("bytes_limit", "bytes_in_use", "peak_bytes_in_use",
+                  "largest_alloc_size"):
+            if k in ms:
+                limits.append(f"{k}={int(ms[k])}")
+    except Exception:
+        pass
+    # The framebuffer guardrail _validate.py enforces -- the analog of
+    # wgpu's max_texture_dimension_2d in the reference's limit dump.
+    limits.append("max_framebuffer_dim=8192")
+
     return {
         "name": str(kind),
         "backend": str(platform).upper(),
-        "device_type": "Tpu" if "tpu" in str(platform).lower() else "Cpu",
-        "vendor_id": 0,
+        "device_type": "Tpu" if is_tpu else "Cpu",
+        # Google's PCI vendor id for TPU devices; CPUs carry 0 like the
+        # reference's software adapters.
+        "vendor_id": 0x1AE0 if is_tpu else 0,
         "device_id": int(getattr(d, "id", 0)),
-        "features": f"platform={platform}, kind={kind}",
-        "limits": f"memory_stats={'available' if hasattr(d, 'memory_stats') else 'n/a'}",
+        "features": ", ".join(feats),
+        "limits": ", ".join(limits),
     }
 
 
