@@ -88,8 +88,10 @@ def main():
     print(f"split first run (incl compile): {time.perf_counter() - t0:.1f}s "
           f"needed={float(need_s)}")
 
-    a8 = img_f.view(np.uint8).reshape(B, H, W, 4).astype(np.int32)
-    b8 = img_s.view(np.uint8).reshape(B, H, W, 4).astype(np.int32)
+    a8 = (np.ascontiguousarray(img_f).view(np.uint8)
+          .reshape(B, H, W, 4).astype(np.int32))
+    b8 = (np.ascontiguousarray(img_s).view(np.uint8)
+          .reshape(B, H, W, 4).astype(np.int32))
     d = np.abs(a8 - b8)
     exact = int((d != 0).sum())
     print(f"byte diffs: {exact} / {d.size}  max={int(d.max())}")

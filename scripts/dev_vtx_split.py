@@ -73,6 +73,14 @@ def main():
 
     base = 4 if GRID >= 512 else SLOTS
 
+    # Returning the raw g-buffer planes from this jit does NOT hit the
+    # scoped-VMEM staging OOM that dev_vtx_variants.py documents: the
+    # planes here are EXECUTABLE OUTPUTS consumed by a SECOND jit
+    # (fs_epilogue below), so XLA places them in HBM; the variants script
+    # returned them from the same jit that also reduced them, which let
+    # the staging pass keep the pallas outputs scoped (20.65M vs 16M at
+    # grid=1024). Measured working on hardware round 4 (BASELINE.md
+    # split-FS row).
     @jax.jit
     def gbuffer(views, projs):
         def one(view, proj):

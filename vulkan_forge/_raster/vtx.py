@@ -616,6 +616,7 @@ def _vtx_kernel(vs_ref,                              # HBM vertex stream
 def _vtx_kernel_fused(vs_ref, lutp_ref, par_ref,     # inputs
                       img_ref, ovf_ref,              # outputs
                       v0_ref, v1_ref, v2_ref, mask_ref, aw_ref,  # scratch
+                      imgv_ref, osem,
                       vring, sem, cols_ref, lhs_ref, *scratch,
                       n, ntx, nty, cells, slots, base_slots, width, height,
                       variant=""):
@@ -626,7 +627,20 @@ def _vtx_kernel_fused(vs_ref, lutp_ref, par_ref,     # inputs
     (~17 ms/frame at 800x600, BASELINE.md round 4). Bit-identical to
     gbuffer + fragment.terrain_fs by construction: the finalize runs the
     exact divide the g-buffer finalize runs, then fragment.terrain_fs_tile
-    (see its docstring for the Mosaic/XLA bit-exactness evidence)."""
+    (see its docstring for the Mosaic/XLA bit-exactness evidence).
+
+    VMEM discipline (both measured on hardware, round 5): (a) the image
+    output lives in HBM space and is written by explicit per-strip DMAs
+    from the strip-sized imgv scratch -- a VMEM-blocked image output
+    stages the whole batch array in scoped VMEM; (b) the FS runs per
+    column strip inside ONE fori_loop, NOT once over the stacked plane:
+    the 256-step LUT select chain keeps ~12 values (c0/c1 accumulators,
+    i0f/i1f/frac, the divided varyings) live across the whole chain, so
+    full-plane FS temporaries alone cost ~25 MB of kernel stack at
+    800x600 (the 39.2M-vs-16M scoped OOM), while strip-sized temps are
+    ~3.5 MB. The fori body is traced once, so the chain's Mosaic IR is
+    not multiplied by ntx either (the compile-time concern that
+    originally motivated the full-plane form)."""
     fc_ref = scratch[0] if variant == "fcache" else None
     _vtx_raster(vs_ref, v0_ref, v1_ref, v2_ref, mask_ref, aw_ref, ovf_ref,
                 vring, sem, cols_ref, lhs_ref, fc_ref,
@@ -640,20 +654,27 @@ def _vtx_kernel_fused(vs_ref, lutp_ref, par_ref,     # inputs
     hr2 = par[0, 0]
     expo = par[0, 1]
     l0, l1, l2 = par[0, 2], par[0, 3], par[0, 4]
-    # ONE full-plane FS call, not one per column strip: the FS is
-    # pointwise (strip layout irrelevant) and its unrolled 256-step LUT
-    # select chain dominates the Mosaic IR -- per-strip copies multiply
-    # compile time by ntx (the grid=1024 fused compile only fits the
-    # tunnel's window with the single-copy form).
-    aid = mask_ref[0, :, :]
-    aw = aw_ref[0, :, :]
-    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
-    hh = v0_ref[0, :, :] * rcp
-    xx = v1_ref[0, :, :] * rcp
-    zz = v2_ref[0, :, :] * rcp
-    cov = aid >= 0.0
-    img_ref[0, :, :] = terrain_fs_tile(hh, xx, zz, cov, lutv, hr2,
-                                       expo, l0, l1, l2)
+    b = pl.program_id(0)
+    h8 = nty * 8
+
+    def fs_strip(cs, carry):
+        off = cs * h8  # multiple of 8: dynamic SUBLANE offsets are legal
+        aid = mask_ref[0, pl.ds(off, h8), :]
+        aw = aw_ref[0, pl.ds(off, h8), :]
+        rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+        hh = v0_ref[0, pl.ds(off, h8), :] * rcp
+        xx = v1_ref[0, pl.ds(off, h8), :] * rcp
+        zz = v2_ref[0, pl.ds(off, h8), :] * rcp
+        cov = aid >= 0.0
+        imgv_ref[0, :, :] = terrain_fs_tile(hh, xx, zz, cov, lutv, hr2,
+                                            expo, l0, l1, l2)
+        out = pltpu.make_async_copy(
+            imgv_ref.at[0], img_ref.at[b, pl.ds(off, h8), :], osem)
+        out.start()
+        out.wait()  # imgv is reused next strip; never leave DMAs in flight
+        return carry
+
+    jax.lax.fori_loop(0, ntx, fs_strip, 0)
 
 
 def render_gbuffer_vtx_batch(fields_b, grid_n: int, width: int, height: int,
@@ -774,8 +795,11 @@ def render_image_vtx_batch(fields_b, lut, h_range, exposure, sun_dir,
 
     img_s = jax.ShapeDtypeStruct((B, ntx * h8, 128), jnp.int32)
     ovf_s = jax.ShapeDtypeStruct((B, 8, 128), jnp.float32)
-    img_spec = pl.BlockSpec((1, ntx * h8, 128), lambda p: (p, 0, 0),
-                            memory_space=pltpu.VMEM)
+    # The image output stays in HBM space, written by explicit per-strip
+    # in-kernel DMAs: a VMEM-blocked image output makes XLA stage the full
+    # batch array in scoped VMEM (part of the 39.24M-vs-16M scoped OOM at
+    # grid=1024 800x600 b4, measured round 5 -- see _vtx_kernel_fused).
+    img_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     ovf_spec = pl.BlockSpec((1, 8, 128), lambda p: (p, 0, 0),
                             memory_space=pltpu.VMEM)
     small = pl.BlockSpec((8, 128), lambda p: (0, 0),
@@ -789,6 +813,8 @@ def render_image_vtx_batch(fields_b, lut, h_range, exposure, sun_dir,
         out_specs=(img_spec, ovf_spec),
         out_shape=(img_s, ovf_s),
         scratch_shapes=[pltpu.VMEM((1, ntx * h8, 128), jnp.float32)] * 5
+        + [pltpu.VMEM((1, h8, 128), jnp.int32),
+           pltpu.SemaphoreType.DMA]
         + scratch,
     )(stream, lutp, par)
 
