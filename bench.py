@@ -257,7 +257,11 @@ def main() -> int:
 
     def build_run(mode, cam_sets):
         if mode == "vtx":
-            return build_vtx_run(vtx_slots), f"vtx:slots={vtx_slots}"
+            # Label which vtx resolve actually measures: the fused-FS
+            # kernel (shipped FS in-kernel, no g-buffer) or the split
+            # g-buffer + XLA FS (VF_VTX_FUSE_FS=0 or oversized frames).
+            kind = "vtx-fused" if P._vtx_fuse_ok(WIDTH, HEIGHT) else "vtx"
+            return build_vtx_run(vtx_slots), f"{kind}:slots={vtx_slots}"
         if mode == "packed":
             return build_packed_run()
         if mode != "list":
