@@ -340,6 +340,38 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
                           (jnp.int32(0), jnp.int32(0), ef, jf))
 
 
+    do_sup = _super_walker(
+        (aid_ref, ahi_ref, a0_ref, a1_ref, a2_ref, aw_ref),
+        px, txf, lane_ids, spr=spr, row_size=row_size,
+        exact_ids=exact_ids, merged=merged, id_meta=id_meta,
+        id_stride=id_stride)
+
+    flat_walk(do_sup)
+
+
+    if exact_ids:
+        covered = ahi_ref[...] >= 0.0
+    else:
+        covered = aid_ref[...] >= 0.0
+    aw = aw_ref[...]
+    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+    v0_ref[...] = a0_ref[...] * rcp
+    v1_ref[...] = a1_ref[...] * rcp
+    v2_ref[...] = a2_ref[...] * rcp
+    mask_ref[...] = covered.astype(jnp.float32)
+
+
+def _super_walker(refs, px, txf, lane_ids, *, spr, row_size, exact_ids,
+                  merged, id_meta, id_stride):
+    """Build the per-super walk closure shared by every packed kernel
+    flavor (slab-ring, id-only and resident-stream): given the six
+    accumulator refs and the program's column constants, return
+    ``do_sup(rec, sup)`` -- evaluate one 32-triangle super's record tile
+    against this column strip and painter-merge the winners. Moved
+    verbatim from the round-3 kernel body, so every flavor is
+    byte-identical by construction."""
+    aid_ref, ahi_ref, a0_ref, a1_ref, a2_ref, aw_ref = refs
+
     def do_sup(rec, sup):
         r = jax.lax.div(sup, spr)
         sup_id0 = r * row_size + (sup - r * spr) * SUPER_T
@@ -542,19 +574,7 @@ def _packed_kernel(counts_ref,                       # SMEM prefetch (B*NTX,)
 
         jax.lax.fori_loop(0, ntr, trip, 0)
 
-    flat_walk(do_sup)
-
-
-    if exact_ids:
-        covered = ahi_ref[...] >= 0.0
-    else:
-        covered = aid_ref[...] >= 0.0
-    aw = aw_ref[...]
-    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
-    v0_ref[...] = a0_ref[...] * rcp
-    v1_ref[...] = a1_ref[...] * rcp
-    v2_ref[...] = a2_ref[...] * rcp
-    mask_ref[...] = covered.astype(jnp.float32)
+    return do_sup
 
 
 def _packed_id_kernel(counts_ref,                    # SMEM prefetch (B*NTX,)
@@ -730,6 +750,203 @@ def _varyings_from_ids(aid, stream, row_size: int, spr: int,
     v2 = jnp.where(mflat, a2 * rcp, 0.0).reshape(shape)
     return (v0[:height, :width], v1[:height, :width], v2[:height, :width],
             mask[:height, :width])
+
+
+def _packed_kernel_resident_fused(
+        counts_ref,                      # SMEM prefetch (2, B*NTX)
+        wls_ref, wln_ref,                # VMEM (1, 1, ROWS, 1)
+        stream_ref,                      # HBM packed stream (B*SUP8, 128)
+        lutp_ref, par_ref,               # VMEM (8, 128) blocks
+        img_ref,                         # HBM image (B*NTX*H8, 128) int32
+        aid_ref, ahi_ref, a0_ref, a1_ref, a2_ref, aw_ref,  # strip scratch
+        stream_v, imgv_ref, ssem, osem,
+        *, ntx, spr, row_size, frame_supers, merged=True):
+    """Resident-stream fused kernel for moderate meshes (T <= ~40K).
+
+    The slab-ring kernel's flat DMA pipeline is sized for streams that
+    dwarf VMEM; at moderate grids the WHOLE frame stream is ~4 MB and the
+    per-slab machinery (ring waits, cursor bookkeeping, slab-boundary
+    clamps) dominates the walk (measured 4.5 of 8.8 ms/frame at grid=128
+    b32, scripts/exp_g128.py). Here the first column program of each
+    frame copies the frame's entire stream into VMEM once (~0.1-0.2 ms);
+    it stays resident for the other ntx-1 programs (the grid iterates
+    frame-major and scratch persists across programs), so the walk reads
+    records at VMEM latency with no DMA code in the loop at all.
+
+    The SHIPPED fragment epilogue then runs in-kernel on this column's
+    accumulator strips (fragment.terrain_fs_tile -- bit-exact vs the XLA
+    terrain_fs, see its docstring) and the packed-u32 strip is DMA'd to
+    the HBM image output: no g-buffer materialization, no separate FS
+    pass (2.6 ms/frame at grid=128 b32). Restrictions (enforced by
+    resident_fused_ok): f32 painter ids (T < 2^24), no split-grid id
+    metadata (split streams only apply above 400K triangles), shipped FS.
+    """
+    prog = pl.program_id(0)
+    tx = jax.lax.rem(prog, ntx)
+    frame = jax.lax.div(prog, ntx)
+    h8 = aid_ref.shape[0]
+
+    # Fetch the frame's whole stream ONCE, on its first column program.
+    @pl.when(tx == 0)
+    def _load_stream():
+        cp = pltpu.make_async_copy(
+            stream_ref.at[pl.ds(frame * frame_supers * 8,
+                                frame_supers * 8), :],
+            stream_v, ssem)
+        cp.start()
+        cp.wait()
+
+    neg1 = jnp.full((h8, 128), -1.0, jnp.float32)
+    zero = jnp.zeros((h8, 128), jnp.float32)
+    aid_ref[...] = neg1
+    a0_ref[...] = zero
+    a1_ref[...] = zero
+    a2_ref[...] = zero
+    aw_ref[...] = jnp.ones((h8, 128), jnp.float32)
+
+    px = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+          .astype(jnp.float32) + (tx * 128).astype(jnp.float32) + 0.5)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, GBLOCK, 1), 1)
+    txf = tx.astype(jnp.float32)
+
+    do_sup = _super_walker(
+        (aid_ref, ahi_ref, a0_ref, a1_ref, a2_ref, aw_ref),
+        px, txf, lane_ids, spr=spr, row_size=row_size, exact_ids=False,
+        merged=merged, id_meta=False, id_stride=1)
+
+    n_entries = counts_ref[0, prog]
+    emax = wls_ref.shape[2] - 1
+
+    def entry_body(e, carry):
+        ec = jnp.minimum(e, emax)
+        start = wls_ref[0, 0, ec, 0]
+        n = wln_ref[0, 0, ec, 0]
+
+        def sup_body(c, carry2):
+            do_sup(stream_v[pl.ds((start + c) * 8, 8), :], start + c)
+            return carry2
+
+        jax.lax.fori_loop(0, n, sup_body, 0)
+        return carry
+
+    jax.lax.fori_loop(0, n_entries, entry_body, 0)
+
+    # Fused FS finalize on this column strip (same scalar unpacking and
+    # divide as the vtx fused kernel; terrain_fs_tile is the bit-exact
+    # in-kernel terrain_fs).
+    from .fragment import terrain_fs_tile
+
+    lutv = lutp_ref[...]
+    par = par_ref[...]
+    hr2 = par[0, 0]
+    expo = par[0, 1]
+    l0, l1, l2 = par[0, 2], par[0, 3], par[0, 4]
+    aw = aw_ref[...]
+    rcp = 1.0 / jnp.where(jnp.abs(aw) < 1e-20, 1.0, aw)
+    hh = a0_ref[...] * rcp
+    xx = a1_ref[...] * rcp
+    zz = a2_ref[...] * rcp
+    cov = aid_ref[...] >= 0.0
+    imgv_ref[...] = terrain_fs_tile(hh, xx, zz, cov, lutv, hr2, expo,
+                                    l0, l1, l2)
+    out = pltpu.make_async_copy(
+        imgv_ref, img_ref.at[pl.ds(prog * h8, h8), :], osem)
+    out.start()
+    out.wait()
+
+
+def resident_fused_ok(T: int, width: int, height: int, row_size: int,
+                      tile_h: int = TILE_H, tile_w: int = TILE_W) -> bool:
+    """Eligibility for the resident-stream fused kernel: the frame's
+    whole padded stream plus the seven strip buffers and the FS's
+    strip-sized temporaries must fit scoped VMEM, and painter ids must
+    ride one f32."""
+    if T >= (1 << 24) or row_size <= 0:
+        return False
+    rows = -(-T // row_size)
+    spr = -(-row_size // SUPER_T)
+    supers_pad = max(-(-rows * spr // _SLAB) * _SLAB, _SLAB)
+    h8 = -(-height // tile_h) * tile_h
+    stream_bytes = supers_pad * 8 * 128 * 4
+    strip_bytes = h8 * 128 * 4 * 7          # 6 accumulators + imgv
+    fs_temp_bytes = h8 * 128 * 4 * 12       # LUT-chain live values
+    return stream_bytes + strip_bytes + fs_temp_bytes < 11 * 2**20
+
+
+def render_image_packed_resident_fused_batch(
+        cols_b, bbox_b, lut, h_range, exposure, sun_dir, row_size: int,
+        width: int, height: int, tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """B frames through the resident-stream fused kernel: rasterize AND
+    shade in one pallas_call, returning (B, H, W) uint32 framebuffers.
+
+    Bit-identical to render_gbuffer_packed_batch + fragment.terrain_fs on
+    TPU: the scalar prep below runs terrain_fs's exact ops in XLA and the
+    in-kernel tile FS is bit-exact per fragment.terrain_fs_tile. Match:
+    terrain.wgsl:68-91 runs as one fused GPU stage over the same draw.
+    """
+    B, T = bbox_b.shape[:2]
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    rows = -(-T // row_size)
+    spr = -(-row_size // SUPER_T)
+    supers = rows * spr
+    supers_pad = max(-(-supers // _SLAB) * _SLAB, _SLAB)
+    h8 = nty * tile_h
+    assert tile_h == 8 and tile_w == 128, "packed kernel is (8,128)-native"
+    assert resident_fused_ok(T, width, height, row_size, tile_h, tile_w)
+
+    def prep_one(cols, bbox):
+        return build_packed_stream(cols, bbox, row_size, width, height,
+                                   tile_h, tile_w)
+
+    stream_b, wls_b, wln_b, counts_b, nflat_b = jax.vmap(prep_one)(
+        cols_b, bbox_b)
+    stream = stream_b.reshape(B * supers_pad * 8, 128)
+    counts2 = jnp.stack([counts_b.reshape(-1), nflat_b.reshape(-1)])
+
+    # Scalar prep with terrain_fs's exact ops (fragment.py:50,59).
+    hr2 = 2.0 * jnp.maximum(h_range, 1e-8)
+    sun = jnp.asarray(sun_dir, jnp.float32)
+    l = sun / jnp.sqrt(jnp.sum(sun * sun))
+    par = jnp.zeros((8, 128), jnp.float32)
+    par = par.at[0, 0].set(hr2).at[0, 1].set(exposure)
+    par = par.at[0, 2:5].set(l)
+    from .fragment import pack_lut_tile
+    lutp = pack_lut_tile(jnp.asarray(lut, jnp.float32))
+
+    kernel = functools.partial(
+        _packed_kernel_resident_fused, ntx=ntx, spr=spr, row_size=row_size,
+        frame_supers=supers_pad,
+        merged=os.environ.get("VF_PACKED_MERGE", "1") == "1")
+
+    wl_spec = pl.BlockSpec((1, 1, rows, 1),
+                           lambda p, *pref: (jax.lax.div(p, ntx),
+                                             jax.lax.rem(p, ntx), 0, 0),
+                           memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((8, 128), lambda p, *pref: (0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B * ntx,),
+        in_specs=[wl_spec, wl_spec,
+                  pl.BlockSpec(memory_space=pltpu.HBM),   # stream
+                  small, small],                          # lutp, par
+        out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),),
+        scratch_shapes=[pltpu.VMEM((h8, 128), jnp.float32)] * 6
+        + [pltpu.VMEM((supers_pad * 8, 128), jnp.float32),  # resident stream
+           pltpu.VMEM((h8, 128), jnp.int32),                # image staging
+           pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
+    )
+    (img,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=os.environ.get("VF_PACKED_INTERPRET") == "1",
+        out_shape=(jax.ShapeDtypeStruct((B * ntx * h8, 128), jnp.int32),),
+    )(counts2, wls_b[..., None], wln_b[..., None], stream, lutp, par)
+
+    img = jax.lax.bitcast_convert_type(img, jnp.uint32)
+    img = img.reshape(B, ntx, h8, 128).transpose(0, 2, 1, 3)
+    return img.reshape(B, h8, ntx * 128)[:, :height, :width]
 
 
 def render_gbuffer_packed_batch(cols_b, bbox_b, row_size: int,
