@@ -123,7 +123,16 @@ def main() -> int:
             sets.append((jnp.asarray(v), jnp.asarray(p)))
         return sets
 
-    dense_mode = os.environ.get("VF_DENSE", "vtx")
+    dense_env = os.environ.get("VF_DENSE")
+    dense_mode = dense_env or "vtx"
+    if dense and dense_env in (None, "resident") and P._resident_ok(
+            int(indices.shape[0]), WIDTH, HEIGHT, 2 * (GRID - 1),
+            "shipped"):
+        # Moderate grids (T <= ~40K): resident-stream fused kernel --
+        # whole frame stream VMEM-resident, FS in-kernel (round-5
+        # default; mirrors render_terrain_u8's routing). An explicit
+        # VF_DENSE=vtx/packed/... wins (comparison runs rely on it).
+        dense_mode = "resident"
     if dense and dense_mode == "vtx" \
             and not P._vtx_ok(GRID, indices, WIDTH, HEIGHT):
         dense_mode = "packed"  # out of the vtx envelope: packed default
@@ -202,6 +211,25 @@ def main() -> int:
             return jax.device_get(run_sum(views, projs))
         return run, path
 
+    def build_resident_run():
+        # Moderate grids: resident-stream fused kernel (one pallas_call
+        # rasterizes AND shades the batch; stream fetched once per frame).
+        row_size = 2 * (GRID - 1)
+
+        @jax.jit
+        def run_sum_res(views, projs):
+            out = P._terrain_render_batch_resident.__wrapped__(
+                xyuv, indices, heights, views, projs, lut, args["h_min"],
+                args["h_max"], args["exposure"], args["sun_dir"],
+                args["spacing"], args["exaggeration"], WIDTH, HEIGHT,
+                row_size, grid_n=GRID)
+            return jnp.sum(out & 0xFF)
+
+        def run(views, projs):
+            # checksum forcing (see packed path note above)
+            return jax.device_get(run_sum_res(views, projs))
+        return run
+
     def build_strips_run():
         # Dense-mesh fallback: batched strip-walk path.
         row_size = 2 * (GRID - 1)
@@ -262,6 +290,8 @@ def main() -> int:
             # g-buffer + XLA FS (VF_VTX_FUSE_FS=0 or oversized frames).
             kind = "vtx-fused" if P._vtx_fuse_ok(WIDTH, HEIGHT) else "vtx"
             return build_vtx_run(vtx_slots), f"{kind}:slots={vtx_slots}"
+        if mode == "resident":
+            return build_resident_run(), "packed-resident-fused"
         if mode == "packed":
             return build_packed_run()
         if mode != "list":

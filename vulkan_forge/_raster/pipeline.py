@@ -354,6 +354,51 @@ def _terrain_render_batch_packed_split(xyuv, indices, heights, views, projs,
         nsp, exaggeration, fs_mode=fs_mode)
 
 
+def _resident_ok(T: int, width: int, height: int, row_size: int,
+                 fs_mode: str) -> bool:
+    """Resident-stream fused kernel eligibility (moderate grid meshes):
+    shipped FS only (the FS runs in-kernel), whole padded frame stream +
+    strip buffers fit scoped VMEM (packed.resident_fused_ok), and the
+    knob VF_PACKED_RESIDENT=0 doesn't force the slab-ring path. At
+    grid=128 the slab ring's per-slab DMA machinery is the wall (4.5 of
+    8.8 ms/frame, scripts/exp_g128.py); keeping the ~4 MB stream
+    VMEM-resident across a frame's column programs removes it."""
+    if os.environ.get("VF_PACKED_RESIDENT", "1") == "0":
+        return False
+    if fs_mode != "shipped":
+        return False
+    from . import packed
+    return packed.resident_fused_ok(T, width, height, row_size)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "row_size", "grid_n"))
+def _terrain_render_batch_resident(xyuv, indices, heights, views, projs,
+                                   lut, h_min, h_max, exposure, sun_dir,
+                                   spacing, exaggeration, width, height,
+                                   row_size, grid_n=None):
+    """Batched resident-stream fused path (moderate meshes, shipped FS):
+    one pallas_call rasterizes AND shades B frames -- the frame stream is
+    fetched into VMEM once per frame and stays resident across its column
+    programs, and the fragment epilogue runs in-kernel per column strip
+    (fragment.terrain_fs_tile). Image parity vs the split path follows
+    the documented FS rounding policy (docs/NEXT.md round-5 finding):
+    g-buffers byte-exact, image bytes within 1 u8 of the XLA epilogue on
+    a ~1e-6 fraction of covered pixels."""
+    from . import packed
+
+    def prep(view, proj):
+        return _terrain_cols(xyuv, indices, heights, view, proj, spacing,
+                             exaggeration, width, height, "shipped",
+                             grid_n=grid_n)
+
+    cols_b, bbox_b = jax.vmap(prep)(views, projs)
+    h_range = h_max - h_min
+    return packed.render_image_packed_resident_fused_batch(
+        cols_b, bbox_b, lut, h_range, exposure, sun_dir, row_size,
+        width, height)
+
+
 # ---------------- vertex-stream dense path (round 3c) ----------------
 
 # Slots ratchet: (grid_n, W, H) -> candidate slots. Grow-only, shared
@@ -555,7 +600,8 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
     # need the true DEM spacing.
     nsp = jnp.float32(spacing if normal_spacing is None else normal_spacing)
     T = int(indices.shape[0])
-    dense_mode = os.environ.get("VF_DENSE", "vtx")
+    dense_env = os.environ.get("VF_DENSE")
+    dense_mode = dense_env or "vtx"
     # Hardware fill-rule mode (VF_FILL_RULE=hw): 8.8 snap + top-left rule
     # (setup.py). Supported on the jnp oracle, the list kernel and the
     # strips kernel; hw records carry bias columns the packed/vtx
@@ -565,6 +611,27 @@ def render_terrain_u8(xyuv, indices, heights, view, proj, *, spacing, exaggerati
         fill_rule = "inclusive"
     if fill_rule == "hw":
         dense_mode = "strips"
+
+    rs_dense = int(row_size) if row_size else T
+    if (be == "pallas" and T > SEGMENT_THRESHOLD
+            and dense_env in (None, "resident")
+            and fill_rule != "hw"
+            and _resident_ok(T, width, height, rs_dense, fs_mode)):
+        # Moderate grid meshes (T <= ~40K), round-5 default: the whole
+        # frame stream stays VMEM-resident across the frame's column
+        # programs and the shipped FS runs in-kernel (packed.py
+        # resident-fused kernel). The vtx kernel is wrong here (its
+        # ~1.25 us/slot-visit cost dominates at moderate grids: 34.9
+        # ms/frame at grid=128 vs 8.4 through the slab ring and ~3.5
+        # resident -- docs/NEXT.md round-5); the slab ring's per-slab
+        # DMA machinery is the next-biggest cost and this removes it.
+        img_u32 = _terrain_render_batch_resident(
+            xyuv, indices, heights, view[None], proj[None], lut, h_min,
+            h_max, exposure, sun_dir, spacing, exaggeration, width,
+            height, rs_dense, grid_n=grid_n)[0]
+        if as_device:
+            return img_u32
+        return _formats.u32_image_to_rgba_u8(jax.device_get(img_u32))
 
     if be == "pallas" and T > SEGMENT_THRESHOLD and dense_mode == "vtx":
         if _vtx_ok(grid_n, indices, width, height):
