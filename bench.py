@@ -43,8 +43,12 @@ HEIGHT = int(os.environ.get("VF_BENCH_H", "600"))
 # the reference's default TerrainSpike grid (src/terrain/mod.rs:258).
 GRID = int(os.environ.get("VF_BENCH_GRID", "1024"))
 # Dense meshes: B=4 keeps the per-frame record streams inside HBM
-# (B x ~1.3 GB at grid=1024); the list path batches 8.
-BATCH = int(os.environ.get("VF_BENCH_BATCH", "4" if GRID >= 512 else "8"))
+# (B x ~1.3 GB at grid=1024). Moderate grids batch 32: the fixed
+# ~4.7 ms dispatch overhead is ~35% of a b8 grid=128 frame, and the
+# round-5 sweep (BASELINE.md: b8 38.2 -> b32 54.5 Mpix/s) pins b32 as
+# the amortization sweet spot (production pattern: batch frames per
+# dispatch, CLAUDE.md trap 3).
+BATCH = int(os.environ.get("VF_BENCH_BATCH", "4" if GRID >= 512 else "32"))
 REPS = int(os.environ.get("VF_BENCH_REPS", "5"))
 
 

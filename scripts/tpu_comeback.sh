@@ -16,6 +16,12 @@
 #                                          #  trip-body bake-off at 1024)
 #   bash scripts/tpu_comeback.sh suite     # ~40 min (full TPU pytest)
 #
+# Round-5 phases (resident-stream fused kernel, VERDICT r4 item 3):
+#   bash scripts/tpu_comeback.sh resident  # ~10 min (parity g48 + perf
+#                                          #  g128 b8/b32 + g104)
+#   bash scripts/tpu_comeback.sh bench128  # ~6 min (VF_BENCH_GRID=128
+#                                          #  headline; target >=100 Mpix/s)
+#
 # No argument = everything in order (only safe when nothing can kill us).
 set -x
 cd /root/repo
@@ -40,7 +46,26 @@ run_bench() {
   VF_DENSE=vtx timeout 560 python bench.py
   timeout 560 python bench.py
 }
-run_suite() { timeout 3000 python -m pytest tests/ -q; }
+run_suite() {
+  mkdir -p diag_out
+  timeout 3000 python -m pytest tests/ -q 2>&1 | tee diag_out/r5_suite.log
+}
+run_resident() {
+  mkdir -p diag_out
+  # parity at the measured FS-policy config, then perf at the target regime
+  { timeout 560 python scripts/dev_packed_fused.py 48 800 600 4 4 \
+      && timeout 560 python scripts/dev_packed_fused.py 128 800 600 8 6 \
+      && timeout 560 python scripts/dev_packed_fused.py 128 800 600 32 6 \
+      && timeout 560 python scripts/dev_packed_fused.py 104 800 600 8 4; \
+  } 2>&1 | tee diag_out/r5_resident.log
+}
+run_bench128() {
+  mkdir -p diag_out
+  { VF_BENCH_GRID=128 timeout 560 python bench.py \
+      && VF_BENCH_GRID=128 VF_BENCH_BATCH=8 timeout 560 python bench.py \
+      && VF_BENCH_GRID=128 VF_DENSE=packed timeout 560 python bench.py; \
+  } 2>&1 | tee diag_out/r5_bench_g128.log
+}
 run_variants() {
   # identity at a parity config, then the grid=1024 bake-off
   timeout 560 python scripts/dev_vtx_variants.py 48 96 64 6 1 || return 1
@@ -65,8 +90,9 @@ case "$PHASE" in
   variants) run_variants ;;
   rows)   run_rows ;;
   suite)  run_suite ;;
-  all)    run_probe && run_parity && run_perf && run_stage \
-            && run_g128 && run_variants && run_rows && run_bench \
-            && run_suite ;;
+  resident) run_resident ;;
+  bench128) run_bench128 ;;
+  all)    run_probe && run_resident && run_bench128 && run_rows \
+            && run_bench && run_suite ;;
   *) echo "unknown phase $PHASE"; exit 2 ;;
 esac

@@ -148,3 +148,66 @@ def test_shipped_rule_delta_vs_hw_is_boundary_only(seed):
     covered = (hw_id >= 0).sum()
     assert diff.sum() <= 0.06 * covered, (
         f"fill-rule delta too large: {diff.sum()}/{covered}")
+
+
+def test_hw_fill_rule_routes_dense_to_strips(monkeypatch):
+    """VF_FILL_RULE=hw on a dense grid mesh must route to the strips
+    backend (the one dense kernel whose records carry the 8.8 top-left
+    bias columns -- docs/PARITY.md), never the resident/vtx/packed
+    streams, regardless of VF_DENSE. Formalizes the VERDICT r4 item-8
+    story: strips IS the hw-rule dense backend.
+
+    Match: /root/reference/src/terrain/pipeline.rs:107-140 (the
+    fixed-function rule is unconditional on the GPU; here it is a mode
+    every dense render must honor).
+    """
+    import math
+
+    from vulkan_forge import _colormap, _mesh
+    from vulkan_forge._camera import look_at_rh, perspective_wgpu
+    from vulkan_forge._raster import pipeline as P
+
+    hits = []
+
+    def spy(name, ret=None):
+        def f(*a, **k):
+            hits.append(name)
+            if ret is not None:
+                return ret
+            raise AssertionError(f"{name} must not run under hw rule")
+        return f
+
+    monkeypatch.setattr(P, "_terrain_render_batch_resident",
+                        spy("resident"))
+    monkeypatch.setattr(P, "_terrain_render_batch_vtx", spy("vtx"))
+    monkeypatch.setattr(P, "_terrain_render_batch_packed", spy("packed"))
+    monkeypatch.setattr(P, "_terrain_render_batch_packed_split",
+                        spy("packed_split"))
+    monkeypatch.setattr(
+        P, "_terrain_render_strips",
+        spy("strips", ret=jnp.zeros((120, 160), jnp.uint32)))
+
+    grid = 104                                  # T = 21218 > threshold
+    xyuv, idx = _mesh.build_grid_xyuv(grid)
+    lut, _ = _colormap.build_lut("terrain")
+    kw = dict(spacing=1.0, exaggeration=1.0, h_min=0.0, h_max=1.0,
+              exposure=1.0, sun_dir=(0.3, 0.9, 0.3), lut=lut,
+              width=160, height=120, backend="pallas",
+              row_size=2 * (grid - 1), grid_n=grid)
+    view = look_at_rh((3, 2, 3), (0, 0, 0), (0, 1, 0))
+    proj = perspective_wgpu(np.float32(math.radians(45)),
+                            np.float32(160 / 120), np.float32(0.1),
+                            np.float32(100))
+
+    monkeypatch.setenv("VF_FILL_RULE", "hw")
+    for dense in (None, "vtx", "packed", "resident"):
+        if dense is None:
+            monkeypatch.delenv("VF_DENSE", raising=False)
+        else:
+            monkeypatch.setenv("VF_DENSE", dense)
+        hits.clear()
+        img = P.render_terrain_u8(
+            xyuv, idx.reshape(-1, 3), np.zeros((1, 1), np.float32),
+            view, proj, **kw)
+        assert hits == ["strips"], f"VF_DENSE={dense}: routed {hits}"
+        assert img.shape == (120, 160, 4)
