@@ -110,7 +110,12 @@ def main():
     d = np.abs(a8 - b8)
     exact = int((d != 0).sum())
     print(f"byte diffs: {exact} / {d.size}  max={int(d.max())}")
-    ok = exact == 0 if not on_cpu else int(d.max()) <= 1
+    # Documented FS bit-parity policy (BASELINE.md round 5): kernel-FS
+    # vs XLA-FS images agree to <= 1 u8 step on <= 1e-4 of bytes (XLA
+    # reassociates/FMA-contracts the plane-shaped FS; root-caused, not
+    # a kernel bug). G-buffer exactness is pinned separately by
+    # tests/test_resident.py.
+    ok = int(d.max()) <= 1 and exact <= d.size * 1e-4
     print("RESIDENT FUSED PARITY OK" if ok else "RESIDENT FUSED PARITY FAIL")
 
     if REPS:
